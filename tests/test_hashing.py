@@ -1,0 +1,123 @@
+"""Unit tests for the vectorized fingerprint kernels (SURVEY.md §5.1).
+
+Each kernel is checked bit-exactly against a tiny pure-Python oracle.
+"""
+
+import numpy as np
+import pytest
+
+from vidupe_ray.config import PipelineConfig
+from vidupe_ray.functions import hashing as H
+from vidupe_ray.functions.text import canonicalize, tokenize
+
+U64 = np.uint64
+
+
+def test_popcount_matches_bin():
+    xs = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 0x8000000000000001,
+                   12345678901234567], dtype=U64)
+    got = H.popcount64(xs)
+    want = [bin(int(x)).count("1") for x in xs]
+    assert got.tolist() == want
+
+
+def test_hash_token_lists_offsets_and_determinism():
+    docs = [["a", "b", "c"], [], ["a", "b"], ["zzz"]]
+    h1, off1 = H.hash_token_lists(docs)
+    h2, off2 = H.hash_token_lists(docs)
+    assert off1.tolist() == [0, 3, 3, 5, 6]
+    np.testing.assert_array_equal(h1, h2)
+    # same token -> same hash wherever it appears
+    assert h1[0] == h1[3] and h1[1] == h1[4]
+    assert h1.dtype == U64
+
+
+def test_shingles_match_per_doc_oracle():
+    k, seed = 3, 42
+    docs = [["a", "b", "c", "d", "e"], ["x", "y"], ["p", "q", "r"]]
+    th, off = H.hash_token_lists(docs)
+    sh, sh_off = H.shingles_from_tokens(th, off, k, seed)
+    # doc0 has 3 shingles, doc1 has 0 (too short), doc2 has 1
+    assert sh_off.tolist() == [0, 3, 3, 4]
+    # oracle: compute each doc independently — global window must not leak
+    # across doc boundaries
+    for d, toks in enumerate(docs):
+        th_d, off_d = H.hash_token_lists([toks])
+        sh_d, _ = H.shingles_from_tokens(th_d, off_d, k, seed)
+        np.testing.assert_array_equal(sh[sh_off[d]:sh_off[d + 1]], sh_d)
+
+
+def test_minhash_matches_bruteforce_min():
+    rng = np.random.RandomState(0)
+    sh = rng.randint(0, 2**63, size=50).astype(U64)
+    offsets = np.array([0, 10, 10, 35, 50])  # doc1 empty
+    a, b = H.make_perm_params(128, seed=42)
+    sig = H.minhash_from_shingles(sh, offsets, a, b)
+    assert sig.shape == (4, 128)
+    for d, (s, e) in enumerate(zip(offsets[:-1], offsets[1:])):
+        if s == e:
+            assert (sig[d] == np.iinfo(np.uint64).max).all()
+            continue
+        for p in [0, 17, 127]:
+            want = min((int(a[p]) * int(x) + int(b[p])) % 2**64
+                       for x in sh[s:e])
+            assert int(sig[d, p]) == want
+
+
+def test_simhash_matches_bit_oracle():
+    rng = np.random.RandomState(1)
+    sh = rng.randint(0, 2**63, size=21).astype(U64)
+    starts = np.array([0, 5, 5])
+    ends = np.array([5, 5, 21])
+    got = H.simhash_segments(sh, starts, ends)
+    assert got[1] == 0  # empty segment -> monochrome-reject sentinel
+    for seg_i, (s, e) in enumerate([(0, 5), (5, 21)]):
+        want = 0
+        n = e - s
+        for bit in range(64):
+            cnt = sum((int(x) >> bit) & 1 for x in sh[s:e])
+            if 2 * cnt >= n:
+                want |= 1 << bit
+        assert int(got[0 if seg_i == 0 else 2]) == want
+
+
+def test_head_tail_ranges():
+    sh_off = np.array([0, 100, 103, 103])
+    (hs, he), (ts, te) = H.head_tail_ranges(sh_off, window=10)
+    assert (hs.tolist(), he.tolist()) == ([0, 100, 103], [10, 103, 103])
+    assert (ts.tolist(), te.tolist()) == ([90, 100, 103], [100, 103, 103])
+
+
+def test_bottom_k_distinct():
+    sh = np.array([9, 3, 3, 7, 1, 100, 50], dtype=U64)
+    out = H.bottom_k_distinct(sh, np.array([0, 5, 5, 7]), k=3)
+    assert out[0].tolist() == [1, 3, 7]
+    assert out[1].tolist() == []
+    assert out[2].tolist() == [50, 100]
+
+
+def test_band_hashes_shape_and_locality():
+    rng = np.random.RandomState(2)
+    sig = rng.randint(0, 2**63, size=(3, 128)).astype(U64)
+    sig[1] = sig[0]                     # identical docs
+    bh = H.band_hashes(sig, bands=16, rows=8, seed=42)
+    assert bh.shape == (3, 16)
+    np.testing.assert_array_equal(bh[0], bh[1])
+    assert (bh[0] != bh[2]).any()
+    # same row-slice in different bands must not collide (per-band salt)
+    sig3 = np.tile(sig[0, :8], 16)[None, :]
+    bh3 = H.band_hashes(sig3.astype(U64), 16, 8, 42)
+    assert len(set(bh3[0].tolist())) == 16
+
+
+def test_end_to_end_signature_determinism():
+    cfg = PipelineConfig()
+    text = "def foo(bar, baz):\n    return bar + baz\n" * 20
+    toks = tokenize(canonicalize(text))
+    th, off = H.hash_token_lists([toks])
+    sh, sh_off = H.shingles_from_tokens(th, off, cfg.shingle_k, cfg.seed)
+    a, b = H.make_perm_params(cfg.num_perms, cfg.seed)
+    sig1 = H.minhash_from_shingles(sh, sh_off, a, b)
+    sig2 = H.minhash_from_shingles(sh, sh_off, a, b)
+    np.testing.assert_array_equal(sig1, sig2)
+    assert sig1.shape == (1, 128)

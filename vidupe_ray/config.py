@@ -1,0 +1,122 @@
+"""Pipeline configuration.
+
+The Ray-Data analogue of Vidupe's ``Prefs`` (reference ``prefs.h:7-24``): a
+single frozen config object carried to every stage (actor ``__init__`` args),
+instead of a mutable GUI-bound preference singleton.
+
+Default values mirror the reference defaults:
+
+- ``threshold_pct = 89``  — GUI slider default (``mainwindow.ui:259-260``);
+  maps to ``threshold_bits = round(64 * 89/100) = 57``
+  (``mainwindow.cpp:110-114``) and ``threshold_frac = 0.89``
+  (``prefs.h:19-20``).
+- ``same_len_bonus = 1`` / ``diff_len_penalty = 4`` — the duration modifiers
+  ``_sameDurationModifier`` / ``_differentDurationModifier``
+  (``prefs.h:22-23``): near-equal lengths loosen the match by 1 bit-of-64,
+  different lengths tighten it by 4.
+- ``mode`` — ``"simhash"`` is the pHash-mode analogue (Hamming similarity
+  alone decides, ``comparison.cpp:137-140``); ``"jaccard"`` is the SSIM-mode
+  analogue (Hamming gate at ``max(threshold_bits, 44)`` then the richer
+  Jaccard estimate decides, ``comparison.cpp:141-148``).  Default ``jaccard``:
+  the engine's headline semantics use both the cheap and the rich signature,
+  per the two-stage cost pyramid of the reference.
+- head/tail SimHash slots are the CutEnds analogue (``thumbnail.h:26``,
+  ``prefs.h:15``): two fingerprints per doc, match takes the best slot
+  (``comparison.cpp:133-151``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- shingling / signatures ------------------------------------------
+    shingle_k: int = 7            # tokens per shingle
+    num_perms: int = 128          # MinHash permutations
+    bands: int = 16               # LSH bands
+    rows_per_band: int = 8        # bands * rows_per_band == num_perms
+    simhash_bits: int = 64        # fixed: one uint64 per slot
+    head_tail_window: int = 64    # shingles per head/tail SimHash slot (CutEnds analogue)
+    min_shingles: int = 8         # low-content guard (monochrome-reject analogue,
+                                  # reference video.cpp:203-211: hash := 0)
+
+    # --- matching --------------------------------------------------------
+    mode: str = "jaccard"         # "simhash" (pHash analogue) | "jaccard" (SSIM analogue)
+    threshold_pct: int = 89       # slider percent; see threshold_bits/threshold_frac
+    same_len_bonus: int = 1       # bits-of-64 when lengths are "the same"
+    diff_len_penalty: int = 4     # bits-of-64 otherwise
+    len_tolerance: float = 0.02   # relative n_tokens difference treated as same length
+    ssim_gate_floor: int = 44     # jaccard mode gate = max(threshold_bits, 44)
+                                  # (comparison.cpp:142)
+
+    # --- containment / substring pass (north-rule addition) --------------
+    containment: bool = True
+    containment_threshold: float = 0.9   # estimated |A∩B| / |smaller| gate
+    anchor_k: int = 12                   # bottom-k shingle hashes emitted as anchor keys
+    min_containment_ratio: float = 1.10  # only consider containment when sizes differ
+                                         # by at least this factor (else near-dup path covers it)
+
+    # --- skew / scale knobs ----------------------------------------------
+    band_group_cap: int = 256     # max docs verified all-pairs within one LSH/anchor
+                                  # bucket; larger groups fall back to capped linking
+                                  # (explicit skew handling; drops are logged, never silent)
+    broadcast_cap: int = 2_000_000  # max ids for driver-side broadcast joins; above
+                                    # this the bucketed shuffle join path is used
+    join_buckets: int = 64        # buckets for the partitioned hash join fallback
+
+    # --- execution -------------------------------------------------------
+    seed: int = 42
+    batch_size: int = 512         # docs per fingerprint batch (content is wide)
+    fingerprint_concurrency: int | tuple = 4   # actor pool size for FingerprintActor
+    lang_allowlist: tuple = ()    # empty = accept all (extensions.ini analogue,
+                                  # reference mainwindow.cpp:74-93)
+
+    # ---------------------------------------------------------------------
+    @property
+    def threshold_bits(self) -> int:
+        """Slider percent -> bits-of-64, reference ``mainwindow.cpp:113``."""
+        return int(round(self.simhash_bits * self.threshold_pct / 100.0))
+
+    @property
+    def threshold_frac(self) -> float:
+        """Slider percent -> SSIM-style fraction, reference ``mainwindow.cpp:112``."""
+        return self.threshold_pct / 100.0
+
+    @property
+    def signature_config_hash(self) -> str:
+        """Hash of the fields that determine signatures (not match thresholds).
+
+        Mirrors the reference's cache ``version`` table (``db.cpp:46-47``):
+        thresholds are match-time-only parameters (``mainwindow.cpp:110-121``),
+        so signature checkpoints keyed by this hash survive threshold changes.
+        """
+        sig_fields = {
+            "shingle_k": self.shingle_k,
+            "num_perms": self.num_perms,
+            "head_tail_window": self.head_tail_window,
+            "min_shingles": self.min_shingles,
+            "anchor_k": self.anchor_k,
+            "seed": self.seed,
+        }
+        return hashlib.sha256(
+            json.dumps(sig_fields, sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    def __post_init__(self):
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"bands ({self.bands}) * rows_per_band ({self.rows_per_band}) "
+                f"must equal num_perms ({self.num_perms})"
+            )
+        if self.mode not in ("simhash", "jaccard"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+
+
+DEFAULT_CONFIG = PipelineConfig()
