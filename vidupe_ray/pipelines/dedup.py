@@ -1,0 +1,194 @@
+"""The flagship pipeline: read -> normalize -> exact dedup -> fingerprint ->
+LSH candidates -> verify (+ substring confirm) -> connected components ->
+clusters.  SURVEY.md §3.4 lifecycle, Ray-Data-first.
+
+Dataflow (shuffles marked):
+
+    corpus_ds
+      | map_batches(normalize)                 tasks, zero-copy Arrow
+      | groupby(sha256_canon) tiny rows        SHUFFLE 1 (exact dedup)
+      | winner semi-join (broadcast)           no shuffle
+      | map_batches(FingerprintActor)          actor pool
+      | [checkpoint signatures]                resumable, config-hash keyed
+      | map_batches(BandEmitter)               tasks
+      | groupby(key) + in-group verify         SHUFFLE 2 (LSH)
+      | groupby(a, b) dedupe                   SHUFFLE 3 (tiny pair rows)
+      | substring confirm (broadcast content)  tasks
+      | union exact edges + near + contain
+      | alternating-star CC rounds             SHUFFLES 4..k (tiny edges)
+      | cluster assignment + canonical pick    broadcast parent map
+      -> clusters / pairs / rejects datasets + metrics
+
+Only signatures and tiny pair/edge rows cross the shuffles; content crosses
+the wire exactly once (the winner filter reads it where it lies).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..config import PipelineConfig
+from ..stages import cluster as cluster_stage
+from ..stages import exact_dedup as ed
+from ..stages import lsh
+from ..stages import verify_contain as vc
+from ..stages.fingerprint import FingerprintActor
+from ..stages.normalize import normalize_batch, apply_lang_filter
+from ..state.joins import broadcast_lookup_map, apply_lookup
+
+
+@dataclass
+class DedupResult:
+    docs: "rd.Dataset"          # normalized rows incl. status (all docs)
+    winners: "rd.Dataset"       # exact-dedup winners w/ content_canon
+    signatures: "rd.Dataset"    # fingerprints of winners
+    pairs: "rd.Dataset"         # verified duplicate pairs (near + contain)
+    clusters: "rd.Dataset"      # doc_id, cluster_id, is_canonical, ...
+    rejects: "rd.Dataset"       # tagged invalid rows
+    metrics: dict = field(default_factory=dict)
+
+
+def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
+              checkpoint_dir: str | None = None) -> DedupResult:
+    """Ray must already be initialised by the caller (driver contract)."""
+    cfg = cfg or PipelineConfig()
+    metrics = {}
+    t0 = time.perf_counter()
+
+    if cfg.lang_allowlist:
+        corpus_ds = corpus_ds.map_batches(
+            lambda t: apply_lang_filter(t, cfg.lang_allowlist),
+            batch_format="pyarrow")
+
+    docs = corpus_ds.map_batches(normalize_batch, batch_format="pyarrow")
+    docs = docs.materialize()   # consumed by 3 branches (winners, rejects,
+                                # containment content fetch); tiny at test
+                                # scale, and at cluster scale this is the
+                                # natural signatures+meta checkpoint point
+    metrics["n_input"] = docs.count()
+
+    rejects = docs.filter(expr="status != 'ok'")
+
+    membership = ed.exact_dedup(docs, cfg).materialize()
+    winners, n_winners = ed.winner_filter(docs, membership, cfg)
+    winners = winners.materialize()
+    exact_edge_ds = ed.exact_edges(membership)
+    metrics["n_winners"] = n_winners
+    metrics["t_normalize_dedup"] = time.perf_counter() - t0
+
+    # --- fingerprint (+ checkpoint/resume) -------------------------------
+    t1 = time.perf_counter()
+    signatures = None
+    if checkpoint_dir:
+        from ..state.checkpoint import try_read_signatures, write_signatures
+        signatures = try_read_signatures(checkpoint_dir, cfg, n_winners)
+        if signatures is not None:
+            metrics["signatures_resumed"] = True
+    if signatures is None:
+        signatures = winners.map_batches(
+            FingerprintActor, fn_constructor_args=(cfg,),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+            concurrency=cfg.fingerprint_concurrency)
+        if checkpoint_dir:
+            from ..state.checkpoint import write_signatures
+            signatures = write_signatures(signatures, checkpoint_dir, cfg,
+                                          n_winners)
+            metrics["signatures_resumed"] = False
+    metrics["t_fingerprint"] = time.perf_counter() - t1
+
+    # --- candidates + verification ---------------------------------------
+    t2 = time.perf_counter()
+    pairs_all = lsh.candidate_pairs(signatures, cfg).materialize()
+    near = pairs_all.filter(expr="kind == 'near'")
+    cand = pairs_all.filter(expr="kind == 'contain_cand'")
+    if cfg.containment:
+        contain = vc.confirm_containment(cand, winners, cfg)
+        pairs = near.union(contain.select_columns(
+            ["a", "b", "jaccard", "hamming", "best_sim", "kind",
+             "group_size"]))
+    else:
+        pairs = near
+    pairs = pairs.materialize()
+    metrics["n_pairs"] = pairs.count()
+    metrics["t_candidates_verify"] = time.perf_counter() - t2
+
+    # --- clustering -------------------------------------------------------
+    t3 = time.perf_counter()
+    edges = pairs.select_columns(["a", "b"]).union(exact_edge_ds)
+    parents = cluster_stage.connected_components(edges).materialize()
+    clusters = assign_clusters(docs, parents, cfg)
+    metrics["t_cluster"] = time.perf_counter() - t3
+    metrics["t_total"] = time.perf_counter() - t0
+
+    return DedupResult(docs=docs, winners=winners, signatures=signatures,
+                       pairs=pairs, clusters=clusters, rejects=rejects,
+                       metrics=metrics)
+
+
+def assign_clusters(docs_ds, parents_ds, cfg: PipelineConfig):
+    """All OK docs -> (doc_id, cluster_id, n_bytes, cluster_size,
+    is_canonical).
+
+    Parent map is broadcast (it only contains docs that have duplicates);
+    singletons map to themselves.  Canonical pick mirrors
+    ``highlightBetterProperties`` size ranking (``comparison.cpp:266-330``):
+    keep the largest file, tie-break on min doc_id — a pure min/max
+    reduction, deterministic under any execution order.
+    """
+    keys_ref, vals_ref, n_map = broadcast_lookup_map(
+        parents_ds, "doc_id", "cluster_id", cfg.broadcast_cap)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cid = apply_lookup(ids.astype(np.int64), keys_ref, vals_ref)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "cluster_id": pa.array(cid, pa.int64()),
+            "n_bytes": batch.column("n_bytes"),
+        })
+
+    ok = docs_ds.filter(expr="status == 'ok'")
+    assigned = ok.map_batches(_assign, batch_format="pyarrow")
+
+    def _canonical(df: pd.DataFrame) -> pd.DataFrame:
+        nb = df["n_bytes"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        best = np.lexsort((ids, -nb))[0]
+        out = df.copy()
+        out["cluster_size"] = len(df)
+        out["is_canonical"] = False
+        out.iloc[best, out.columns.get_loc("is_canonical")] = True
+        return out
+
+    return assigned.groupby("cluster_id").map_groups(
+        _canonical, batch_format="pandas")
+
+
+def cluster_report(clusters_ds):
+    """The ``reportMatchingVideos`` aggregate (``comparison.cpp:29-47``):
+    docs having >= 1 duplicate, and reclaimable bytes = sum over clusters of
+    (total bytes - kept canonical bytes)."""
+    def _per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"docs_with_dups": [0],
+                                 "reclaimable_bytes": [0],
+                                 "clusters": [0]})
+        total = int(df["n_bytes"].sum())
+        kept = int(df.loc[df["is_canonical"], "n_bytes"].iloc[0])
+        return pd.DataFrame({"docs_with_dups": [len(df)],
+                             "reclaimable_bytes": [total - kept],
+                             "clusters": [1]})
+
+    per = clusters_ds.groupby("cluster_id").map_groups(
+        _per_cluster, batch_format="pandas")
+    agg = per.sum(["docs_with_dups", "reclaimable_bytes", "clusters"])
+    return {"docs_with_dups": int(agg["sum(docs_with_dups)"]),
+            "reclaimable_bytes": int(agg["sum(reclaimable_bytes)"]),
+            "dup_clusters": int(agg["sum(clusters)"])}

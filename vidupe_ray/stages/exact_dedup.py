@@ -1,0 +1,96 @@
+"""Exact dedup — the first shuffle (SURVEY.md §7.3 row 1).
+
+Vidupe's intake dedup is a case-insensitive O(n^2) path scan
+(``mainwindow.cpp:217-225``); at corpus scale we dedup on
+``sha256_canon`` (content identity that survives whitespace variants)
+with a two-phase plan that keeps the wide ``content_canon`` column OUT of
+the shuffle:
+
+1. tiny-row shuffle: ``(sha256_canon, doc_id)`` -> per-group winner
+   (min doc_id, deterministic under any block order) + loser->winner edges.
+2. winner filter on the full table: broadcast the winner-id set when it fits
+   (``ray.put`` once, ``np.isin`` per batch), bucketed hash-join fallback
+   above ``broadcast_cap`` — never a full-row groupby, so a 10k-copy
+   identical file (hotband skew) costs 10k tiny rows, not 10k x 256 KiB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..config import PipelineConfig
+
+
+def _group_winner(df: pd.DataFrame) -> pd.DataFrame:
+    w = int(df["doc_id"].min())
+    return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                         "winner_id": np.int64(w)})
+
+
+def exact_dedup(normalized_ds, cfg: PipelineConfig):
+    """Returns ``(membership_ds, )`` where membership has one row per OK doc:
+    ``(doc_id, winner_id)``; ``doc_id == winner_id`` marks the group winner.
+
+    The caller derives winners (keep set) and exact edges (loser->winner)
+    from this one dataset — one tiny shuffle total.
+    """
+    tiny = (normalized_ds
+            .select_columns(["sha256_canon", "doc_id", "status"])
+            .map_batches(lambda t: t.filter(
+                pa.compute.equal(t.column("status"), "ok"))
+                .select(["sha256_canon", "doc_id"]),
+                batch_format="pyarrow"))
+    membership = tiny.groupby("sha256_canon").map_groups(
+        _group_winner, batch_format="pandas")
+    return membership
+
+
+def winner_filter(normalized_ds, membership_ds, cfg: PipelineConfig):
+    """Filter the full normalized dataset down to group winners.
+
+    Broadcast path: winner ids -> sorted numpy array in the object store,
+    read once per task, ``np.isin`` per batch (a semi-join without a
+    shuffle). Falls back is documented in the module docstring; at
+    ``len(winners) > broadcast_cap`` we raise — the bucketed join path is
+    wired in ``state/joins.py`` (used by callers at larger scale).
+    """
+    winners_tbl = (membership_ds
+                   .map_batches(lambda df: df[df.doc_id == df.winner_id]
+                                [["doc_id"]],
+                                batch_format="pandas"))
+    winner_ids = np.sort(np.concatenate(
+        [b["doc_id"].to_numpy()
+         for b in winners_tbl.iter_batches(batch_size=1 << 20,
+                                           batch_format="pandas")]
+        or [np.empty(0, dtype=np.int64)]))
+    if len(winner_ids) > cfg.broadcast_cap:
+        from ..state.joins import bucketed_semi_join
+        return bucketed_semi_join(normalized_ds, winner_ids, "doc_id",
+                                  cfg.join_buckets), len(winner_ids)
+
+    ref = ray.put(winner_ids)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        if len(ids) == 0:
+            return batch.slice(0, 0)
+        d = batch.column("doc_id").to_numpy()
+        pos = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
+        return batch.filter(pa.array(ids[pos] == d))
+
+    ok = normalized_ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("status"), "ok")),
+        batch_format="pyarrow")
+    return ok.map_batches(_filter, batch_format="pyarrow"), len(winner_ids)
+
+
+def exact_edges(membership_ds):
+    """Loser -> winner edges feeding the union-find (kind='exact')."""
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        losers = df[df.doc_id != df.winner_id]
+        return pd.DataFrame({"a": losers["winner_id"].astype("int64"),
+                             "b": losers["doc_id"].astype("int64")})
+    return membership_ds.map_batches(_edges, batch_format="pandas")

@@ -1,0 +1,92 @@
+"""Fingerprint stage — stateful actor pool.
+
+The analogue of ``Video::run``'s capture+hash phase
+(``takeScreenCaptures`` -> ``processThumbnail`` -> ``computePhash``,
+``video.cpp:122-228``), recast as one vectorized Arrow-batch transform:
+
+- per-actor state built ONCE in ``__init__`` (the 128 MinHash (a,b) params
+  and shingle-window coefficients) — the static-Prefs / shared-DCT-state
+  pattern (``video.cpp:4-11``, SURVEY.md §2.4 T3);
+- per-batch work fully vectorized over the concatenated shingle stream;
+- low-content guard: docs with fewer than ``min_shingles`` shingles get
+  zero SimHash slots and are excluded from near-dup candidate generation,
+  exactly like the monochrome reject sets hash=0 (``video.cpp:203-211``)
+  while staying exact-dup eligible.
+
+Input:  normalize output (needs doc_id, n_bytes, content_canon).
+Output: doc_id, lang, n_bytes, n_tokens, n_shingles, simhash, simhash_head,
+        simhash_tail, minhash (fixed_size_list<uint64, P>), anchors
+        (list<uint64>), low_content (bool).  ``content_canon`` is DROPPED
+        here — only signatures flow into the shuffles (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..functions import hashing as H
+from ..functions.text import tokenize
+
+
+class FingerprintActor:
+    """Callable class for ``map_batches(..., concurrency=N)`` actor pools."""
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.a, self.b = H.make_perm_params(cfg.num_perms, cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch.column("content_canon").to_pylist()
+        token_lists = [tokenize(t) for t in texts]
+        th, off = H.hash_token_lists(token_lists)
+        sh, sh_off = H.shingles_from_tokens(th, off, cfg.shingle_k, cfg.seed)
+
+        n_tokens = np.diff(off).astype(np.int64)
+        n_shingles = np.diff(sh_off).astype(np.int64)
+        low = n_shingles < cfg.min_shingles
+
+        minhash = H.minhash_from_shingles(sh, sh_off, self.a, self.b)
+        simhash = H.simhash_segments(sh, sh_off[:-1], sh_off[1:])
+        (hs, he), (ts, te) = H.head_tail_ranges(sh_off, cfg.head_tail_window)
+        head = H.simhash_segments(sh, hs, he)
+        tail = H.simhash_segments(sh, ts, te)
+        # monochrome-reject analogue: zero out sketches of low-content docs
+        simhash[low] = H.U64(0)
+        head[low] = H.U64(0)
+        tail[low] = H.U64(0)
+
+        anchors = H.bottom_k_distinct(sh, sh_off, cfg.anchor_k)
+        anchors = [a if not low[i] else a[:0] for i, a in enumerate(anchors)]
+
+        n = len(texts)
+        P = cfg.num_perms
+        out = pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_bytes": batch.column("n_bytes"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_shingles": pa.array(n_shingles, pa.int64()),
+            "simhash": pa.array(simhash, pa.uint64()),
+            "simhash_head": pa.array(head, pa.uint64()),
+            "simhash_tail": pa.array(tail, pa.uint64()),
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(minhash.reshape(-1), pa.uint64()), P),
+            "anchors": pa.array([a.tolist() for a in anchors],
+                                pa.list_(pa.uint64())),
+            "low_content": pa.array(low, pa.bool_()),
+        })
+        return out
+
+
+def signatures_schema(cfg: PipelineConfig) -> pa.Schema:
+    return pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("n_bytes", pa.int64()), ("n_tokens", pa.int64()),
+        ("n_shingles", pa.int64()), ("simhash", pa.uint64()),
+        ("simhash_head", pa.uint64()), ("simhash_tail", pa.uint64()),
+        ("minhash", pa.list_(pa.uint64(), cfg.num_perms)),
+        ("anchors", pa.list_(pa.uint64())), ("low_content", pa.bool_()),
+    ])

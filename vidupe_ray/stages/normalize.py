@@ -1,0 +1,93 @@
+"""Normalize stage — stateless ``map_batches`` tasks.
+
+The analogue of ``getMetadata`` + rotation normalize + validity filter
+(``video.cpp:47-120``, ``video.cpp:31-35``): pure per-row derivation of
+identity, hashes and counters, plus the canonical text every later stage
+consumes.  Rows are never dropped here — invalid rows are *tagged*
+(``status != 'ok'``) and routed to the rejects dataset, mirroring
+``_rejectedVideos`` (``mainwindow.cpp:307-315``).
+
+Input  schema: repo, path, commit, lang, content [, doc_id]
+Output schema: repo, path, commit, lang, doc_id, sha256, sha256_canon,
+               n_bytes, n_lines, content_canon, status
+
+``sha256`` (of the RAW content) is the per-row invariant required by
+``BASELINE.json::input_hint``; ``sha256_canon`` (of the canonical form) is
+the exact-dedup key — the cache-key idea of ``db.cpp:22-30`` (identity that
+survives presentation changes) taken one step further.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..functions.text import canonicalize, doc_id_for
+
+STATUS_OK = "ok"
+STATUS_EMPTY = "empty"          # F2 analogue: width==0 -> reject (video.cpp:31-35)
+
+
+def normalize_batch(batch: pa.Table, cfg: PipelineConfig | None = None) -> pa.Table:
+    """Vectorized-per-batch normalize; the only per-row Python is hashlib
+    (C-speed) and the canonicalize regex (C-speed)."""
+    content = batch.column("content").to_pylist()
+    n = len(content)
+
+    if "doc_id" in batch.column_names:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        repo = batch.column("repo").to_pylist()
+        path = batch.column("path").to_pylist()
+        commit = batch.column("commit").to_pylist()
+        doc_ids = np.fromiter(
+            (doc_id_for(r, p, c) for r, p, c in zip(repo, path, commit)),
+            dtype=np.int64, count=n)
+
+    sha_raw = np.empty(n, dtype=object)
+    sha_canon = np.empty(n, dtype=object)
+    canon = np.empty(n, dtype=object)
+    n_bytes = np.empty(n, dtype=np.int64)
+    n_lines = np.empty(n, dtype=np.int64)
+    status = np.empty(n, dtype=object)
+    for i, text in enumerate(content):
+        text = text if text is not None else ""
+        raw_b = text.encode("utf-8", "surrogatepass")
+        sha_raw[i] = hashlib.sha256(raw_b).hexdigest()
+        c = canonicalize(text)
+        canon[i] = c
+        sha_canon[i] = hashlib.sha256(c.encode("utf-8", "surrogatepass")).hexdigest()
+        n_bytes[i] = len(raw_b)
+        n_lines[i] = c.count("\n") + 1 if c else 0
+        status[i] = STATUS_OK if c else STATUS_EMPTY
+
+    out = pa.table({
+        "repo": batch.column("repo") if "repo" in batch.column_names
+                else pa.array([""] * n, pa.string()),
+        "path": batch.column("path") if "path" in batch.column_names
+                else pa.array([""] * n, pa.string()),
+        "commit": batch.column("commit") if "commit" in batch.column_names
+                  else pa.array([""] * n, pa.string()),
+        "lang": batch.column("lang") if "lang" in batch.column_names
+                else pa.array([""] * n, pa.string()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "sha256": pa.array(sha_raw, pa.string()),
+        "sha256_canon": pa.array(sha_canon, pa.string()),
+        "n_bytes": pa.array(n_bytes, pa.int64()),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "content_canon": pa.array(canon, pa.string()),
+        "status": pa.array(status, pa.string()),
+    })
+    return out
+
+
+def apply_lang_filter(batch: pa.Table, allowlist: tuple) -> pa.Table:
+    """extensions.ini analogue (``mainwindow.cpp:74-93``): keep allowed langs."""
+    import pyarrow.compute as pc
+    if not allowlist:
+        return batch
+    return batch.filter(pc.is_in(batch.column("lang"),
+                                 value_set=pa.array(allowlist)))
