@@ -1,0 +1,152 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline near-dup pipeline over a deterministic synthetic corpus
+sized by the scale factor of ``$GRAFT_SF_DIR`` (plus the training-data ops
+over the sf tables) and prints ONE JSON line.
+
+    GRAFT_SF_DIR=/root/testdata/sf0.1 RAY_GRAFT_CPUS=32 python bench.py
+    python bench.py --scaling     # same job at 8 and 32 CPUs in fresh
+                                  # processes; prints throughputs + efficiency
+
+The bench corpus is generated once per (size, seed) and cached as sharded
+parquet under /tmp/vidupe_bench so repeated runs measure the pipeline, not
+the generator; one untimed read warms the page cache first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+
+# bench corpus size by scale factor (FIXTURES.md: bench = 50k at sf0.1)
+_SF_DOCS = {"sf0.001": 2_000, "sf0.01": 10_000, "sf0.1": 50_000}
+
+
+def corpus_dir() -> tuple:
+    sf = os.path.basename(SF_DIR.rstrip("/"))
+    n = _SF_DOCS.get(sf, 10_000)
+    out = f"/tmp/vidupe_bench/{sf}_n{n}_s{SEED}"
+    if not os.path.exists(os.path.join(out, "corpus")):
+        from vidupe_ray.corpus import write_corpus
+        os.makedirs(out, exist_ok=True)
+        write_corpus(out, n, seed=SEED, shards=32)
+    return os.path.join(out, "corpus"), n
+
+
+def run_bench() -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+
+    from vidupe_ray.config import PipelineConfig
+    from vidupe_ray.pipelines.dedup import run_dedup
+
+    cdir, n_docs = corpus_dir()
+
+    # warm page cache (untimed)
+    rd.read_parquet(cdir).count()
+
+    cfg = PipelineConfig(
+        fingerprint_concurrency=max(2, NUM_CPUS - 2))
+
+    queries = {}
+
+    # ---- headline: end-to-end dedup on the bench corpus -----------------
+    t0 = time.perf_counter()
+    res = run_dedup(rd.read_parquet(cdir), cfg)
+    n_clusters = res.clusters.count()
+    headline = time.perf_counter() - t0
+    queries["dedup_corpus"] = round(headline, 3)
+
+    # ---- secondary pipelines over the sf tables -------------------------
+    def timed(name, fn):
+        t = time.perf_counter()
+        try:
+            out = fn(SF_DIR)
+            # consume
+            if hasattr(out, "count"):
+                out.count()
+            queries[name] = round(time.perf_counter() - t, 3)
+        except Exception as e:          # never fail the whole bench
+            queries[name] = f"error: {type(e).__name__}"
+
+    from vidupe_ray.pipelines import textops, ann
+    from vidupe_ray.sources.corpus_source import documents_as_corpus
+    timed("dedup_documents", lambda sf: run_dedup(
+        documents_as_corpus(sf), cfg).clusters)
+    timed("doc_stats", textops.doc_stats)
+    timed("exact_dedup", textops.exact_dedup_docs)
+    timed("token_stats", textops.token_stats_by_lang)
+    timed("quality", textops.quality_scores)
+    timed("langid", textops.langid_guess)
+    timed("trigram_jaccard", textops.trigram_jaccard_pairs)
+    timed("ann_topk", ann.ann_topk)
+    timed("ann_topk_ivf", ann.ivf_topk)
+    timed("embedding_neardup", ann.embedding_neardup_pairs)
+
+    result = {
+        "metric": "e2e_dedup_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "files_per_sec": round(n_docs / headline, 1),
+        "n_clusters": n_clusters,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    """Same job at two parallelism levels in fresh processes — the sandbox
+    stand-in for N vs 4N nodes (BASELINE.json north_rule)."""
+    lo, hi = 8, 32
+
+    def one(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # ensure the corpus cache exists before timing anything
+    corpus_dir()
+    r_lo = one(lo)
+    r_hi = one(hi)
+    tp_lo = r_lo["files_per_sec"]
+    tp_hi = r_hi["files_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "files_per_sec_lo": tp_lo, "files_per_sec_hi": tp_hi,
+        "sf": r_lo["sf"], "n_docs": r_lo["n_docs"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

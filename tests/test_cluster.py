@@ -1,0 +1,79 @@
+"""Connected-components tests: distributed star rounds vs driver
+union-find must produce identical labels (SURVEY.md §2.6 A5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vidupe_ray.stages.cluster import connected_components
+
+
+def _labels(ds):
+    df = ds.to_pandas()
+    return dict(zip(df["doc_id"].astype(int), df["cluster_id"].astype(int)))
+
+
+@pytest.fixture()
+def random_graph():
+    rng = np.random.RandomState(11)
+    n = 400
+    edges = []
+    # chains, stars, cliques and random noise
+    for base in range(0, 100, 10):
+        for k in range(9):
+            edges.append((base + k, base + k + 1))       # chain
+    for hub in [200, 220, 240]:
+        for k in range(1, 15):
+            edges.append((hub + k, hub))                 # star
+    for a in range(300, 310):
+        for b in range(a + 1, 310):
+            edges.append((a, b))                         # clique
+    ex = rng.randint(320, 400, size=(60, 2))
+    edges.extend([tuple(e) for e in ex if e[0] != e[1]])
+    return pd.DataFrame(edges, columns=["a", "b"]).astype("int64")
+
+
+def test_distributed_matches_driver(ray_session, random_graph):
+    import ray.data as rd
+    ds = rd.from_pandas(random_graph)
+    got_driver = _labels(connected_components(
+        ds, small_graph_threshold=10**9))
+    got_dist = _labels(connected_components(
+        ds, small_graph_threshold=0))
+    # same set of non-root nodes, same root for every node
+    assert got_driver == got_dist
+
+
+def test_min_root_property(ray_session, random_graph):
+    import ray.data as rd
+    labels = _labels(connected_components(
+        rd.from_pandas(random_graph), small_graph_threshold=0))
+    # build adjacency, BFS components, compare min
+    adj = {}
+    for a, b in random_graph.itertuples(index=False):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp = {start}
+        frontier = [start]
+        while frontier:
+            x = frontier.pop()
+            for y in adj[x]:
+                if y not in comp:
+                    comp.add(y)
+                    frontier.append(y)
+        seen |= comp
+        root = min(comp)
+        for n in comp:
+            want = root if n != root else labels.get(n, n)
+            assert labels.get(n, n) == root
+
+
+def test_empty_edges(ray_session):
+    import ray.data as rd
+    ds = rd.from_pandas(pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                      "b": pd.Series([], dtype="int64")}))
+    assert connected_components(ds).count() == 0

@@ -90,10 +90,10 @@ def test_head_tail_ranges():
 
 def test_bottom_k_distinct():
     sh = np.array([9, 3, 3, 7, 1, 100, 50], dtype=U64)
-    out = H.bottom_k_distinct(sh, np.array([0, 5, 5, 7]), k=3)
-    assert out[0].tolist() == [1, 3, 7]
-    assert out[1].tolist() == []
-    assert out[2].tolist() == [50, 100]
+    vals, off = H.bottom_k_distinct(sh, np.array([0, 5, 5, 7]), k=3)
+    assert off.tolist() == [0, 3, 3, 5]
+    assert vals[off[0]:off[1]].tolist() == [1, 3, 7]
+    assert vals[off[2]:off[3]].tolist() == [50, 100]
 
 
 def test_band_hashes_shape_and_locality():

@@ -56,6 +56,11 @@ class PipelineConfig:
     # --- containment / substring pass (north-rule addition) --------------
     containment: bool = True
     containment_threshold: float = 0.9   # estimated |A∩B| / |smaller| gate
+    containment_est_floor: float = 0.5   # soft pre-filter on the MinHash
+                                         # containment estimate before the
+                                         # exact substring confirm (true
+                                         # containments measured >= 0.65;
+                                         # anchor-collision noise ~0.1-0.4)
     anchor_k: int = 12                   # bottom-k shingle hashes emitted as anchor keys
     min_containment_ratio: float = 1.10  # only consider containment when sizes differ
                                          # by at least this factor (else near-dup path covers it)
@@ -67,6 +72,9 @@ class PipelineConfig:
     broadcast_cap: int = 2_000_000  # max ids for driver-side broadcast joins; above
                                     # this the bucketed shuffle join path is used
     join_buckets: int = 64        # buckets for the partitioned hash join fallback
+    cc_small_graph_threshold: int = 2_000_000  # edge count below which the
+                                  # duplicate graph is solved driver-side;
+                                  # above it the distributed star rounds run
 
     # --- execution -------------------------------------------------------
     seed: int = 42

@@ -158,34 +158,41 @@ def minhash_from_shingles(sh: np.ndarray, sh_offsets: np.ndarray,
     return sig
 
 
-def simhash_segments(sh: np.ndarray, seg_starts: np.ndarray,
-                     seg_ends: np.ndarray) -> np.ndarray:
-    """64-bit SimHash of arbitrary [start, end) segments of the shingle array.
+def simhash_multi(sh: np.ndarray, segment_sets: list) -> list:
+    """64-bit SimHash of several sets of [start, end) segments over ONE
+    shingle array, sharing a single unpackbits + cumulative-count pass
+    (the expensive part; head/tail/full slots all reuse it).
 
     bit j of segment = 1 iff >= half of the segment's shingle hashes have
     bit j set — the sign-bitmap construction, the direct analogue of
     pHash's above-mean bitmap (``video.cpp:216-227``).  Empty segments -> 0
     (the monochrome-reject sentinel, ``video.cpp:210-211``).
     """
-    nseg = len(seg_starts)
-    out = np.zeros(nseg, dtype=U64)
     if len(sh) == 0:
-        return out
+        return [np.zeros(len(s), dtype=U64) for s, _ in segment_sets]
     bits = np.unpackbits(
         np.ascontiguousarray(sh, dtype=U64).view(np.uint8).reshape(-1, 8),
-        axis=1, bitorder="little",
-    ).astype(np.int32)                       # (M, 64)
-    cum = np.zeros((len(sh) + 1, 64), dtype=np.int64)
-    np.cumsum(bits, axis=0, out=cum[1:])
-    counts = cum[seg_ends] - cum[seg_starts]             # (nseg, 64)
-    n = (seg_ends - seg_starts).astype(np.int64)[:, None]
-    valid = n[:, 0] > 0
-    bitmap = (2 * counts >= n) & (n > 0)
-    packed = np.packbits(bitmap.astype(np.uint8), axis=1,
-                         bitorder="little")
-    out = packed.view(U64)[:, 0].copy()
-    out[~valid] = U64(0)
-    return out
+        axis=1, bitorder="little")                       # (M, 64) uint8
+    cum = np.zeros((len(sh) + 1, 64), dtype=np.int32)
+    np.cumsum(bits, axis=0, dtype=np.int32, out=cum[1:])
+    outs = []
+    for seg_starts, seg_ends in segment_sets:
+        counts = cum[seg_ends] - cum[seg_starts]         # (nseg, 64)
+        n = (seg_ends - seg_starts).astype(np.int32)[:, None]
+        valid = n[:, 0] > 0
+        bitmap = (2 * counts >= n) & (n > 0)
+        packed = np.packbits(bitmap.astype(np.uint8), axis=1,
+                             bitorder="little")
+        out = packed.view(U64)[:, 0].copy()
+        out[~valid] = U64(0)
+        outs.append(out)
+    return outs
+
+
+def simhash_segments(sh: np.ndarray, seg_starts: np.ndarray,
+                     seg_ends: np.ndarray) -> np.ndarray:
+    """Single-segment-set convenience wrapper over ``simhash_multi``."""
+    return simhash_multi(sh, [(seg_starts, seg_ends)])[0]
 
 
 def head_tail_ranges(sh_offsets: np.ndarray, window: int) -> tuple:
@@ -204,23 +211,32 @@ def head_tail_ranges(sh_offsets: np.ndarray, window: int) -> tuple:
 
 
 def bottom_k_distinct(sh: np.ndarray, sh_offsets: np.ndarray,
-                      k: int) -> list:
+                      k: int) -> tuple:
     """Per-doc k smallest distinct shingle hashes (containment anchors).
 
     If doc A's shingle set is a subset of doc B's, A's minima are elements
     of B's set, so sharing a bottom-k anchor is very likely (p ~ 1-e^(-k/r)
     for size ratio r) — the candidate channel for the substring pass.
+
+    Returns ``(values: uint64[T], offsets: int64[D+1])`` — list-array form,
+    ready for zero-copy Arrow assembly.
     """
-    out = []
     ndocs = len(sh_offsets) - 1
+    vals = []
+    counts = np.zeros(ndocs, dtype=np.int64)
     for d in range(ndocs):
         seg = sh[sh_offsets[d]:sh_offsets[d + 1]]
         if len(seg) == 0:
-            out.append(np.empty(0, dtype=U64))
-        else:
-            u = np.unique(seg)       # sorted ascending
-            out.append(u[:k])
-    return out
+            continue
+        if len(seg) > 4 * k:
+            # partial-select before the (small) unique
+            seg = np.partition(seg, min(4 * k, len(seg) - 1))[:4 * k]
+        u = np.unique(seg)[:k]       # sorted ascending
+        counts[d] = len(u)
+        vals.append(u)
+    values = (np.concatenate(vals) if vals else np.empty(0, dtype=U64))
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return values, offsets
 
 
 def band_hashes(signatures: np.ndarray, bands: int, rows: int,

@@ -1,0 +1,181 @@
+"""Similarity search over the ``embeddings`` table
+(vec_id:int64, embedding:list<float32>[64], label:int32).
+
+Brute-force cosine top-k is the baseline: the query matrix is broadcast
+ONCE (``ray.put``) and every batch does one numpy matmul against it —
+never re-shipped per batch.  The scale path (documented, exercised by the
+same code): shard queries into column blocks and/or pre-bucket candidates
+by a coarse quantizer (IVF) — see ``ivf_topk``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+_EMB = "{sf}/embeddings.parquet"
+
+
+def read_embeddings(sf_dir: str):
+    return rd.read_parquet(_EMB.format(sf=sf_dir))
+
+
+def _matrix(df: pd.DataFrame) -> np.ndarray:
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def _load_queries(sf_dir: str, n_queries: int):
+    q = (read_embeddings(sf_dir)
+         .filter(expr=f"vec_id < {n_queries}")
+         .to_pandas().sort_values("vec_id"))
+    qm = _matrix(q)
+    # keep raw dots + norms separate so cosine = dot / (na*nb) mirrors the
+    # SQL oracle's arithmetic bit-for-bit (double ops in the same order)
+    return q["vec_id"].to_numpy(np.int64), qm, np.linalg.norm(qm, axis=1)
+
+
+def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 10):
+    """Exact top-k cosine neighbors (vec_id >= n_queries side) for each of
+    the first ``n_queries`` vectors.
+
+    Per-batch: one (B,64)x(64,Q) matmul; per-batch top-k partials are
+    merged in a final tiny reduction — the mergeable-sketch pattern.
+    """
+    qids, qm, qnorm = _load_queries(sf_dir, n_queries)
+    q_ref = ray.put((qids, qm, qnorm))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, qm_, qnorm_ = ray.get(q_ref)
+        cand = df[df["vec_id"] >= n_queries]
+        if len(cand) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cos_sim": pd.Series(dtype="float64")})
+        m = _matrix(cand)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ qm_.T) / np.outer(norms, qnorm_)    # (B, Q)
+        ids = cand["vec_id"].to_numpy(np.int64)
+        out = []
+        kk = min(k, len(ids))
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out.append(pd.DataFrame({
+                "query_id": qids_[qi], "neighbor_id": ids[top],
+                "cos_sim": s[top]}))
+        return pd.concat(out, ignore_index=True)
+
+    partials = read_embeddings(sf_dir).map_batches(
+        _partial, batch_format="pandas", batch_size=4096)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos_sim", "neighbor_id"],
+                            ascending=[False, True]).head(k)
+        df = df.copy()
+        df["cos_x1000"] = np.floor(df["cos_sim"] * 1000.0).astype(np.int64)
+        return df[["query_id", "neighbor_id", "cos_x1000"]]
+
+    return partials.groupby("query_id").map_groups(
+        _merge, batch_format="pandas")
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45):
+    """All pairs (a < b) with cosine >= threshold — embedding-cosine
+    near-dup detection.  The full matrix is broadcast once (it is the
+    small side at this scale); each batch compares its rows against the
+    broadcast matrix and keeps only (row_id < other_id) to emit each pair
+    exactly once."""
+    full = read_embeddings(sf_dir).to_pandas().sort_values("vec_id")
+    fm = _matrix(full)
+    fnorm = np.linalg.norm(fm, axis=1)
+    fids = full["vec_id"].to_numpy(np.int64)
+    ref = ray.put((fids, fm, fnorm))
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        fids_, fm_, fnorm_ = ray.get(ref)
+        m = _matrix(df)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ fm_.T) / np.outer(norms, fnorm_)    # (B, N)
+        ids = df["vec_id"].to_numpy(np.int64)
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = ids[ii] < fids_[jj]
+        return pd.DataFrame({
+            "a": ids[ii[keep]], "b": fids_[jj[keep]],
+            "cos_x1000": np.floor(
+                sims[ii[keep], jj[keep]] * 1000.0).astype(np.int64)})
+
+    return read_embeddings(sf_dir).map_batches(
+        _pairs, batch_format="pandas", batch_size=4096)
+
+
+def ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4, seed: int = 42):
+    """IVF-style approximate top-k: a coarse k-means-ish quantizer (one
+    sampled iteration, deterministic seed) buckets candidates; each query
+    scans only its ``n_probe`` nearest cells.  The scale path for the
+    brute-force baseline: at 10^9+ vectors the bucket groupby replaces the
+    full scan and the centroid table is the broadcast small side."""
+    qids, qm, qnorm = _load_queries(sf_dir, n_queries)
+    qn = qm / qnorm[:, None]
+
+    # deterministic centroids: sample rows, one Lloyd refinement
+    sample = (read_embeddings(sf_dir)
+              .random_sample(min(1.0, 4096 / max(read_embeddings(sf_dir).count(), 1)),
+                             seed=seed)
+              .to_pandas())
+    sm = _matrix(sample)
+    sm = sm / np.linalg.norm(sm, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cents = sm[rng.choice(len(sm), size=min(n_cells, len(sm)),
+                          replace=False)]
+    assign = (sm @ cents.T).argmax(axis=1)
+    for c in range(len(cents)):
+        members = sm[assign == c]
+        if len(members):
+            v = members.mean(axis=0)
+            cents[c] = v / np.linalg.norm(v)
+    probe_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+    c_ref = ray.put((cents, qids, qn, probe_cells))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents_, qids_, qn_, probe_ = ray.get(c_ref)
+        cand = df[df["vec_id"] >= n_queries]
+        if len(cand) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cos_sim": pd.Series(dtype="float64")})
+        m = _matrix(cand)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cell = (mn @ cents_.T).argmax(axis=1)
+        ids = cand["vec_id"].to_numpy(np.int64)
+        out = []
+        for qi in range(len(qids_)):
+            mask = np.isin(cell, probe_[qi])
+            if not mask.any():
+                continue
+            s = mn[mask] @ qn_[qi]
+            kk = min(k, mask.sum())
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out.append(pd.DataFrame({
+                "query_id": qids_[qi],
+                "neighbor_id": ids[mask][top], "cos_sim": s[top]}))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cos_sim": pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    partials = read_embeddings(sf_dir).map_batches(
+        _partial, batch_format="pandas", batch_size=4096)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos_sim", "neighbor_id"],
+                            ascending=[False, True]).head(k).copy()
+        df["cos_x1000"] = np.floor(df["cos_sim"] * 1000.0).astype(np.int64)
+        return df[["query_id", "neighbor_id", "cos_x1000"]]
+
+    return partials.groupby("query_id").map_groups(
+        _merge, batch_format="pandas")

@@ -101,6 +101,11 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
             signatures = write_signatures(signatures, checkpoint_dir, cfg,
                                           n_winners)
             metrics["signatures_resumed"] = False
+        else:
+            # signatures feed LSH and are re-read by reports/queries: pin
+            # them (small — content is already dropped).  With a
+            # checkpoint_dir the parquet checkpoint plays this role.
+            signatures = signatures.materialize()
     metrics["t_fingerprint"] = time.perf_counter() - t1
 
     # --- candidates + verification ---------------------------------------
@@ -122,7 +127,9 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     # --- clustering -------------------------------------------------------
     t3 = time.perf_counter()
     edges = pairs.select_columns(["a", "b"]).union(exact_edge_ds)
-    parents = cluster_stage.connected_components(edges).materialize()
+    parents = cluster_stage.connected_components(
+        edges,
+        small_graph_threshold=cfg.cc_small_graph_threshold).materialize()
     clusters = assign_clusters(docs, parents, cfg)
     metrics["t_cluster"] = time.perf_counter() - t3
     metrics["t_total"] = time.perf_counter() - t0
@@ -157,37 +164,42 @@ def assign_clusters(docs_ds, parents_ds, cfg: PipelineConfig):
     ok = docs_ds.filter(expr="status == 'ok'")
     assigned = ok.map_batches(_assign, batch_format="pyarrow")
 
-    def _canonical(df: pd.DataFrame) -> pd.DataFrame:
-        nb = df["n_bytes"].to_numpy()
-        ids = df["doc_id"].to_numpy()
-        best = np.lexsort((ids, -nb))[0]
-        out = df.copy()
-        out["cluster_size"] = len(df)
-        out["is_canonical"] = False
-        out.iloc[best, out.columns.get_loc("is_canonical")] = True
-        return out
+    def _canonical_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Whole bucket of clusters at once: canonical = max n_bytes, tie
+        min doc_id — vectorized sort + first-of-group."""
+        df = df.sort_values(["cluster_id", "n_bytes", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.copy()
+        df["cluster_size"] = df.groupby("cluster_id")["doc_id"] \
+                               .transform("size").astype("int64")
+        df["is_canonical"] = ~df.duplicated("cluster_id")
+        return df
 
-    return assigned.groupby("cluster_id").map_groups(
-        _canonical, batch_format="pandas")
+    from ..state import bucketing as B
+    return B.grouped_map(assigned, "cluster_id", B.bucket_of_ints,
+                         _canonical_bucket, num_buckets=cfg.join_buckets,
+                         batch_format="pandas")
 
 
 def cluster_report(clusters_ds):
     """The ``reportMatchingVideos`` aggregate (``comparison.cpp:29-47``):
     docs having >= 1 duplicate, and reclaimable bytes = sum over clusters of
-    (total bytes - kept canonical bytes)."""
-    def _per_cluster(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"docs_with_dups": [0],
-                                 "reclaimable_bytes": [0],
-                                 "clusters": [0]})
-        total = int(df["n_bytes"].sum())
-        kept = int(df.loc[df["is_canonical"], "n_bytes"].iloc[0])
-        return pd.DataFrame({"docs_with_dups": [len(df)],
-                             "reclaimable_bytes": [total - kept],
-                             "clusters": [1]})
+    (total bytes - kept canonical bytes).
 
-    per = clusters_ds.groupby("cluster_id").map_groups(
-        _per_cluster, batch_format="pandas")
+    Pure per-batch partial sums — the clusters dataset already carries
+    cluster_size/is_canonical, so no further shuffle is needed:
+    reclaimable = sum of n_bytes over NON-canonical members of dup
+    clusters (the canonical member is by construction the largest)."""
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df["cluster_size"] >= 2]
+        return pd.DataFrame({
+            "docs_with_dups": [len(dup)],
+            "reclaimable_bytes": [int(
+                dup.loc[~dup["is_canonical"], "n_bytes"].sum())],
+            "clusters": [int(dup["is_canonical"].sum())],
+        })
+
+    per = clusters_ds.map_batches(_partial, batch_format="pandas")
     agg = per.sum(["docs_with_dups", "reclaimable_bytes", "clusters"])
     return {"docs_with_dups": int(agg["sum(docs_with_dups)"]),
             "reclaimable_bytes": int(agg["sum(reclaimable_bytes)"]),

@@ -37,8 +37,7 @@ def compute_signatures(corpus: pa.Table, cfg: PipelineConfig) -> dict:
     a, b = H.make_perm_params(cfg.num_perms, cfg.seed)
     minhash = H.minhash_from_shingles(sh, sh_off, a, b)
     (hs, he), (ts, te) = H.head_tail_ranges(sh_off, cfg.head_tail_window)
-    head = H.simhash_segments(sh, hs, he)
-    tail = H.simhash_segments(sh, ts, te)
+    head, tail = H.simhash_multi(sh, [(hs, he), (ts, te)])
     n_sh = np.diff(sh_off).astype(np.int64)
     low = n_sh < cfg.min_shingles
     head[low] = H.U64(0)

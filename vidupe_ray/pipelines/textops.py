@@ -1,0 +1,265 @@
+"""Text-analysis operators for large-scale training-data pipelines —
+first-class components beyond the reference's own inventory (task brief):
+token counting, quality scoring, language-ID heuristic, exact dedup on the
+``documents`` table, n-gram Jaccard set-similarity join.
+
+Every function takes ``sf_dir`` and returns a Ray Dataset; the matching
+ANSI-SQL oracle lives in ``__ray_entry__.oracle_sql`` — column names are
+kept identical on both sides (the driver hash-compares values).
+
+All per-batch bodies are vectorized (pandas .str / numpy); no per-row
+Python in hot paths.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_DOCS = "{sf}/documents.parquet"
+
+# substring markers per language; counted identically in SQL via the
+# replace-length trick, so keep them plain substrings (not regex)
+LANG_MARKERS = {
+    "en": [" the ", " and "],
+    "fr": [" le ", " et "],
+    "es": [" el ", " y "],
+    "de": [" der ", " und "],
+    "zh": [" de ", " he "],
+}
+_MARKER_ORDER = ["en", "fr", "es", "de", "zh"]
+
+
+def read_documents(sf_dir: str, columns=None):
+    return rd.read_parquet(_DOCS.format(sf=sf_dir), columns=columns)
+
+
+def doc_stats(sf_dir: str):
+    """Per-doc hashes + counters (normalize-stage analogue, M1)."""
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "sha256": [hashlib.sha256(t.encode()).hexdigest() for t in text],
+            "n_chars_out": text.str.len().astype("int64"),
+            "token_count_ws": text.str.split().str.len().fillna(0).astype("int64"),
+            "n_lines": np.where(text.str.len() > 0,
+                                text.str.count("\n") + 1, 0).astype("int64"),
+        })
+        return out
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _stats, batch_format="pandas")
+
+
+def exact_dedup_docs(sf_dir: str):
+    """Exact dedup groups over md5(text): keep min doc_id (S3 analogue)."""
+    def _hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "md5": [hashlib.md5(t.encode()).hexdigest()
+                    for t in df["text"].fillna("")],
+            "doc_id": df["doc_id"]})
+
+    def _groups(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("md5", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        g["keep_doc_id"] = g["keep_doc_id"].astype("int64")
+        g["n_dups"] = g["n_dups"].astype("int64")
+        return g
+
+    from ..state import bucketing as B
+    hashed = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _hash, batch_format="pandas")
+    return B.grouped_map(hashed, "md5", B.bucket_of_strings, _groups,
+                         batch_format="pandas")
+
+
+def dedup_summary(sf_dir: str):
+    """Global aggregate: total docs, distinct contents, reclaimable chars
+    (the reportMatchingVideos aggregate, comparison.cpp:29-47)."""
+    docs = read_documents(sf_dir, ["n_chars"])
+    total_docs = docs.count()
+    total_chars = int(docs.sum("n_chars") or 0)
+
+    def _chars(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "md5": [hashlib.md5(t.encode()).hexdigest()
+                    for t in df["text"].fillna("")],
+            "n_chars": df["n_chars"]})
+
+    def _grp(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("md5", as_index=False).agg(
+            kept=("n_chars", "max"), total=("n_chars", "sum"))
+        return g[["kept", "total"]]
+
+    from ..state import bucketing as B
+    per = B.grouped_map(
+        read_documents(sf_dir, ["text", "n_chars"])
+        .map_batches(_chars, batch_format="pandas"),
+        "md5", B.bucket_of_strings, _grp, batch_format="pandas")
+    per = per.materialize()
+    distinct_docs = per.count()
+    agg = per.sum(["kept", "total"])
+    reclaimable = int(agg["sum(total)"] - agg["sum(kept)"])
+    return pd.DataFrame({"total_docs": [total_docs],
+                         "distinct_docs": [distinct_docs],
+                         "total_chars": [total_chars],
+                         "reclaimable_chars": [reclaimable]})
+
+
+def token_stats_by_lang(sf_dir: str):
+    """Pre-aggregated inside map_batches, tiny groupby after (the
+    partial-aggregation pattern for wide shuffle avoidance)."""
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split().str.len().fillna(0)
+        g = pd.DataFrame({"lang": df["lang"], "t": toks.astype("int64")})
+        agg = g.groupby("lang", as_index=False).agg(
+            n_docs=("t", "size"), sum_tokens=("t", "sum"))
+        return agg
+
+    from ray.data.aggregate import Sum
+    partial = read_documents(sf_dir, ["lang", "text"]).map_batches(
+        _partial, batch_format="pandas")
+    return partial.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_tokens", alias_name="sum_tokens"))
+
+
+def lowinfo_by_lang(sf_dir: str, min_tokens: int = 8):
+    """Low-content guard counts per lang (monochrome-reject analogue)."""
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split().str.len().fillna(0)
+        g = pd.DataFrame({"lang": df["lang"],
+                          "low": (toks < min_tokens).astype("int64")})
+        return g.groupby("lang", as_index=False).agg(n_lowinfo=("low", "sum"))
+
+    from ray.data.aggregate import Sum
+    partial = read_documents(sf_dir, ["lang", "text"]).map_batches(
+        _partial, batch_format="pandas")
+    return partial.groupby("lang").aggregate(
+        Sum("n_lowinfo", alias_name="n_lowinfo"))
+
+
+def quality_scores(sf_dir: str):
+    """Cheap quality ratios (digit/space/upper) in parts-per-million ints.
+
+    floor(count * 1e6 / len) keeps the DuckDB oracle hash-identical: the
+    double division of exact small ints is bit-identical on both sides and
+    the floor boundary is only hit by exact-integer ratios (also
+    bit-identical) — no round-half ambiguity, unlike round(x, 6).
+    """
+    def _q(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        ln = text.str.len().to_numpy(np.float64)
+        digits = text.str.count(r"[0-9]").to_numpy(np.float64)
+        spaces = text.str.count(r" ").to_numpy(np.float64)
+        upper = text.str.count(r"[A-Z]").to_numpy(np.float64)
+
+        def ppm(c):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = np.floor(c * 1_000_000.0 / ln)
+            return np.where(ln > 0, v, 0.0).astype(np.int64)
+
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "digit_ppm": ppm(digits),
+            "space_ppm": ppm(spaces),
+            "upper_ppm": ppm(upper),
+        })
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _q, batch_format="pandas")
+
+
+def langid_guess(sf_dir: str):
+    """Marker-substring language heuristic — identical count semantics to
+    the SQL replace-length trick; ties and zero hits -> 'unknown'."""
+    def _guess(df: pd.DataFrame) -> pd.DataFrame:
+        text = " " + df["text"].fillna("") + " "
+        counts = {}
+        for lang in _MARKER_ORDER:
+            c = None
+            for m in LANG_MARKERS[lang]:
+                cc = text.str.count(m.replace(" ", r"\ "))
+                c = cc if c is None else c + cc
+            counts[lang] = c.to_numpy()
+        mat = np.stack([counts[l] for l in _MARKER_ORDER], axis=1)
+        best = mat.argmax(axis=1)
+        bestv = mat.max(axis=1)
+        second = np.sort(mat, axis=1)[:, -2] if mat.shape[1] > 1 else 0
+        guess = np.where((bestv > 0) & (bestv > second),
+                         np.array(_MARKER_ORDER)[best], "unknown")
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_guess": guess})
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _guess, batch_format="pandas")
+
+
+def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int = 200,
+                          threshold_ppm: int = 200_000):
+    """Distributed exact n-gram (word-trigram) set-similarity join: doc ->
+    distinct trigrams -> groupby(gram) inverted index -> pair co-occurrence
+    counts -> Jaccard from |A∩B| and set sizes.  The exact counterpart of
+    the MinHash estimate (and its oracle at small scale)."""
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    docs = docs.filter(expr=f"doc_id < {max_doc_id}")
+
+    def _grams(df: pd.DataFrame) -> pd.DataFrame:
+        rows_doc, rows_gram = [], []
+        for did, t in zip(df["doc_id"], df["text"].fillna("")):
+            toks = t.split()
+            grams = {" ".join(toks[i:i + 3])
+                     for i in range(max(0, len(toks) - 2))}
+            rows_doc.extend([did] * len(grams))
+            rows_gram.extend(grams)
+        return pd.DataFrame({"doc_id": np.asarray(rows_doc, dtype=np.int64),
+                             "gram": rows_gram})
+
+    grams = docs.map_batches(_grams, batch_format="pandas")
+
+    def _sizes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False).agg(sz=("gram", "size"))
+
+    from ray.data.aggregate import Sum
+    sizes = (grams.map_batches(_sizes, batch_format="pandas")
+             .groupby("doc_id").aggregate(Sum("sz", alias_name="sz")))
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Whole bucket of gram-groups: per-gram co-occurrence pairs via
+        sorted segments (inverted-index join, vectorized)."""
+        from vidupe_ray.state.bucketing import segment_boundaries, \
+            segment_pairs
+        df = df.sort_values(["gram", "doc_id"], kind="stable")
+        grams_arr = df["gram"].to_numpy()
+        ids = df["doc_id"].to_numpy(np.int64)
+        off = segment_boundaries(grams_arr)
+        seg = np.stack([off[:-1], off[1:]], axis=1)
+        i, j, _ = segment_pairs(seg, cap=100000)
+        if len(i) == 0:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "inter": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": ids[i], "b": ids[j],
+                             "inter": np.ones(len(i), dtype=np.int64)})
+
+    from ..state import bucketing as B
+    co = (B.grouped_map(grams, "gram", B.bucket_of_strings, _pairs,
+                        batch_format="pandas")
+          .groupby(["a", "b"]).aggregate(Sum("inter", alias_name="inter")))
+
+    import ray
+    sz_map = {int(r["doc_id"]): int(r["sz"]) for r in sizes.take_all()}
+    sz_ref = ray.put(sz_map)
+
+    def _jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(sz_ref)
+        sa = df["a"].map(m).to_numpy(np.float64)
+        sb = df["b"].map(m).to_numpy(np.float64)
+        inter = df["inter"].to_numpy(np.float64)
+        ppm = np.floor(inter * 1_000_000.0 / (sa + sb - inter)).astype(np.int64)
+        out = pd.DataFrame({"a": df["a"], "b": df["b"],
+                            "jaccard_ppm": ppm})
+        return out[out["jaccard_ppm"] >= threshold_ppm]
+
+    return co.map_batches(_jaccard, batch_format="pandas")

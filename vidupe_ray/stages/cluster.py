@@ -4,12 +4,13 @@ pairs; 'has >= 1 match' is its degenerate grouping, ``comparison.cpp:29-47``).
 
 Implementation: alternating large-star / small-star label propagation
 (Kiveris et al., "Connected Components in MapReduce and Beyond", 2014 —
-PAPERS.md lists the BTS follow-up).  Each round is a pure
-``groupby(u).map_groups`` over tiny (u, v) int64 edge rows — no joins, no
-driver-side graph.  Converges to star graphs rooted at each component's
-minimum doc_id, which makes ``cluster_id = min(doc_id in component)``
-deterministic under ANY block order / parallelism level (the N vs 4N
-byte-identical-output requirement, SURVEY.md §7.4).
+PAPERS.md lists the BTS follow-up).  Each round is one bucketed shuffle of
+tiny (u, v) int64 edge rows; per-node logic runs as pandas C-level groupby
+inside each bucket — no per-node Python calls, no joins, no driver-side
+graph.  Converges to star graphs rooted at each component's minimum
+doc_id, which makes ``cluster_id = min(doc_id in component)`` deterministic
+under ANY block order / parallelism level (the N vs 4N byte-identical
+requirement, SURVEY.md §7.4).
 
 Edges are materialized between rounds (they are tiny relative to the
 corpus: only docs with at least one duplicate appear).
@@ -22,8 +23,10 @@ import pandas as pd
 import ray.data as rd
 
 from ..functions.hashing import mix64
+from ..state import bucketing as B
 
 _C1 = np.uint64(0x9E3779B97F4A7C15)
+_NUM_BUCKETS = 64
 
 
 def _edge_checksum(edges_ds) -> tuple:
@@ -42,25 +45,30 @@ def _edge_checksum(edges_ds) -> tuple:
     return count, hsum
 
 
-def _large_star_group(df: pd.DataFrame) -> pd.DataFrame:
-    u = int(df["u"].iat[0])
-    nbrs = df["v"].to_numpy(np.int64)
-    m = min(int(nbrs.min()), u)
-    big = np.unique(nbrs[nbrs > u])
-    if len(big) == 0:
-        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-    return pd.DataFrame({"a": big, "b": np.int64(m)})
+def _large_star_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Bucket of both-direction edges grouped by u: emit (v, m) for every
+    neighbor v > u, where m = min(N(u) ∪ {u})."""
+    m = np.minimum(df.groupby("u")["v"].transform("min").to_numpy(np.int64),
+                   df["u"].to_numpy(np.int64))
+    v = df["v"].to_numpy(np.int64)
+    u = df["u"].to_numpy(np.int64)
+    sel = v > u
+    out = pd.DataFrame({"a": v[sel], "b": m[sel]})
+    return out.drop_duplicates()
 
 
-def _small_star_group(df: pd.DataFrame) -> pd.DataFrame:
-    u = int(df["u"].iat[0])
-    nbrs = df["v"].to_numpy(np.int64)          # all <= u by orientation
-    m = int(nbrs.min())
-    nodes = np.unique(np.concatenate([nbrs, [u]]))
-    nodes = nodes[nodes != m]
-    if len(nodes) == 0:
-        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-    return pd.DataFrame({"a": nodes, "b": np.int64(m)})
+def _small_star_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Bucket of large-to-small oriented edges grouped by u (u >= v):
+    m = min(N(u)); emit (v, m) for v in N(u) \\ {m} plus (u, m)."""
+    g = df.groupby("u")["v"]
+    m = g.transform("min").to_numpy(np.int64)
+    u = df["u"].to_numpy(np.int64)
+    v = df["v"].to_numpy(np.int64)
+    part1 = pd.DataFrame({"a": v[v != m], "b": m[v != m]})
+    first = ~df.duplicated("u").to_numpy()
+    sel = first & (u != m)
+    part2 = pd.DataFrame({"a": u[sel], "b": m[sel]})
+    return pd.concat([part1, part2], ignore_index=True).drop_duplicates()
 
 
 def _both_directions(df: pd.DataFrame) -> pd.DataFrame:
@@ -78,39 +86,85 @@ def _orient_large_to_small(df: pd.DataFrame) -> pd.DataFrame:
 
 def _drop_self_loops(df: pd.DataFrame) -> pd.DataFrame:
     out = df[df["a"] != df["b"]]
-    return out[["a", "b"]]
+    return out[["a", "b"]].drop_duplicates()
 
 
-def connected_components(edges_ds, max_rounds: int = 25):
+def _driver_union_find(edges_ds) -> "rd.Dataset":
+    """Small-graph fast path: collect the (tiny) edge list and run
+    path-compressed union-find in one process.  Identical output contract
+    (min-doc_id roots) as the distributed rounds."""
+    import numpy as np
+    parts = [b for b in edges_ds.iter_batches(batch_size=1 << 20,
+                                              batch_format="pandas")]
+    df = (pd.concat(parts, ignore_index=True) if parts
+          else pd.DataFrame({"a": [], "b": []}, dtype="int64"))
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = {n: find(n) for n in parent}
+    out = pd.DataFrame({"doc_id": list(rows.keys()),
+                        "cluster_id": list(rows.values())})
+    out = out[out["doc_id"] != out["cluster_id"]]
+    return rd.from_pandas(out.astype("int64") if len(out) else pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "cluster_id": pd.Series([], dtype="int64")}))
+
+
+def connected_components(edges_ds, max_rounds: int = 25,
+                         small_graph_threshold: int = 2_000_000):
     """(a, b) edge dataset -> parent mapping dataset (doc_id, cluster_id).
 
     Only non-root members appear in the mapping; roots (and singletons,
     which never enter the edge list) implicitly map to themselves.
+
+    Hybrid execution (ray_guide.md joins section): below
+    ``small_graph_threshold`` edges the graph is collected and solved
+    driver-side (the per-round shuffle overhead would dominate);  above it
+    the alternating-star rounds run fully distributed.  Both paths emit
+    identical, order-independent labels.
     """
     edges = edges_ds.map_batches(_drop_self_loops, batch_format="pandas")
     edges = edges.materialize()
-    if edges.count() == 0:
-        return rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                            "cluster_id": pd.Series([], dtype="int64")}))
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cluster_id": pd.Series([], dtype="int64")}))
+    if n_edges <= small_graph_threshold:
+        return _driver_union_find(edges)
     prev = _edge_checksum(edges)
     rounds = 0
     while rounds < max_rounds:
-        ls = (edges.map_batches(_both_directions, batch_format="pandas")
-              .groupby("u").map_groups(_large_star_group,
-                                       batch_format="pandas")
-              .map_batches(_drop_self_loops, batch_format="pandas"))
-        ss = (ls.map_batches(_orient_large_to_small, batch_format="pandas")
-              .groupby("u").map_groups(_small_star_group,
-                                       batch_format="pandas")
-              .map_batches(_drop_self_loops, batch_format="pandas"))
-        edges = ss.materialize()
+        ls = B.grouped_map(
+            edges.map_batches(_both_directions, batch_format="pandas"),
+            "u", B.bucket_of_ints, _large_star_bucket,
+            num_buckets=_NUM_BUCKETS, batch_format="pandas")
+        ss = B.grouped_map(
+            ls.map_batches(_orient_large_to_small, batch_format="pandas"),
+            "u", B.bucket_of_ints, _small_star_bucket,
+            num_buckets=_NUM_BUCKETS, batch_format="pandas")
+        edges = ss.map_batches(_drop_self_loops,
+                               batch_format="pandas").materialize()
         cur = _edge_checksum(edges)
         rounds += 1
         if cur == prev:
             break
         prev = cur
 
-    # at fixpoint every edge is (member, root); orient and dedupe defensively
+    # at fixpoint every edge is (member, root); orient and reduce to the
+    # min root per member defensively (one more tiny bucketed pass)
     def _parent_rows(df: pd.DataFrame) -> pd.DataFrame:
         a = df["a"].to_numpy(np.int64)
         b = df["b"].to_numpy(np.int64)
@@ -118,10 +172,10 @@ def connected_components(edges_ds, max_rounds: int = 25):
                              "cluster_id": np.minimum(a, b)})
 
     def _min_parent(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": [int(df["doc_id"].iat[0])],
-            "cluster_id": [int(df["cluster_id"].min())]})
+        g = df.groupby("doc_id", as_index=False)["cluster_id"].min()
+        return g
 
-    return (edges.map_batches(_parent_rows, batch_format="pandas")
-            .groupby("doc_id").map_groups(_min_parent,
-                                          batch_format="pandas"))
+    return B.grouped_map(
+        edges.map_batches(_parent_rows, batch_format="pandas"),
+        "doc_id", B.bucket_of_ints, _min_parent,
+        num_buckets=_NUM_BUCKETS, batch_format="pandas")

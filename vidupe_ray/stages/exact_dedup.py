@@ -24,28 +24,33 @@ import ray
 from ..config import PipelineConfig
 
 
-def _group_winner(df: pd.DataFrame) -> pd.DataFrame:
-    w = int(df["doc_id"].min())
+def _bucket_winners(df: pd.DataFrame) -> pd.DataFrame:
+    """Whole bucket (thousands of hash groups) in one pandas C-level
+    groupby: winner = min doc_id per canonical hash."""
+    w = df.groupby("sha256_canon")["doc_id"].transform("min")
     return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
-                         "winner_id": np.int64(w)})
+                         "winner_id": w.astype("int64")})
 
 
 def exact_dedup(normalized_ds, cfg: PipelineConfig):
-    """Returns ``(membership_ds, )`` where membership has one row per OK doc:
+    """Returns a membership dataset with one row per OK doc:
     ``(doc_id, winner_id)``; ``doc_id == winner_id`` marks the group winner.
 
     The caller derives winners (keep set) and exact edges (loser->winner)
-    from this one dataset — one tiny shuffle total.
+    from this one dataset — one tiny bucketed shuffle total (per-hash
+    map_groups would pay per-group Python overhead at 10^12 distinct
+    contents; see state/bucketing.py).
     """
+    from ..state import bucketing as B
     tiny = (normalized_ds
             .select_columns(["sha256_canon", "doc_id", "status"])
             .map_batches(lambda t: t.filter(
                 pa.compute.equal(t.column("status"), "ok"))
                 .select(["sha256_canon", "doc_id"]),
                 batch_format="pyarrow"))
-    membership = tiny.groupby("sha256_canon").map_groups(
-        _group_winner, batch_format="pandas")
-    return membership
+    return B.grouped_map(tiny, "sha256_canon", B.bucket_of_strings,
+                         _bucket_winners, num_buckets=cfg.join_buckets,
+                         batch_format="pandas")
 
 
 def winner_filter(normalized_ds, membership_ds, cfg: PipelineConfig):

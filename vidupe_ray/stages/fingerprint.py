@@ -49,17 +49,22 @@ class FingerprintActor:
         low = n_shingles < cfg.min_shingles
 
         minhash = H.minhash_from_shingles(sh, sh_off, self.a, self.b)
-        simhash = H.simhash_segments(sh, sh_off[:-1], sh_off[1:])
         (hs, he), (ts, te) = H.head_tail_ranges(sh_off, cfg.head_tail_window)
-        head = H.simhash_segments(sh, hs, he)
-        tail = H.simhash_segments(sh, ts, te)
+        # one shared bit-count pass for all three sketch slots
+        simhash, head, tail = H.simhash_multi(
+            sh, [(sh_off[:-1], sh_off[1:]), (hs, he), (ts, te)])
         # monochrome-reject analogue: zero out sketches of low-content docs
         simhash[low] = H.U64(0)
         head[low] = H.U64(0)
         tail[low] = H.U64(0)
 
-        anchors = H.bottom_k_distinct(sh, sh_off, cfg.anchor_k)
-        anchors = [a if not low[i] else a[:0] for i, a in enumerate(anchors)]
+        a_values, a_offsets = H.bottom_k_distinct(sh, sh_off, cfg.anchor_k)
+        if low.any():
+            keep = np.repeat(~low, np.diff(a_offsets))
+            a_counts = np.diff(a_offsets)
+            a_counts[low] = 0
+            a_values = a_values[keep]
+            a_offsets = np.concatenate([[0], np.cumsum(a_counts)])
 
         n = len(texts)
         P = cfg.num_perms
@@ -74,8 +79,9 @@ class FingerprintActor:
             "simhash_tail": pa.array(tail, pa.uint64()),
             "minhash": pa.FixedSizeListArray.from_arrays(
                 pa.array(minhash.reshape(-1), pa.uint64()), P),
-            "anchors": pa.array([a.tolist() for a in anchors],
-                                pa.list_(pa.uint64())),
+            "anchors": pa.ListArray.from_arrays(
+                pa.array(a_offsets, pa.int32()),
+                pa.array(a_values, pa.uint64())),
             "low_content": pa.array(low, pa.bool_()),
         })
         return out

@@ -2,25 +2,25 @@
 replaces the reference's O(n^2) all-pairs sweep (``comparison.cpp:34-42``,
 ``101-126``) with O(n * bands) band rows (SURVEY.md §2.5 J1).
 
-Two candidate channels share one ``groupby(key)`` shuffle:
+Two candidate channels share one bucketed shuffle:
 
 - channel 0 (BAND): the 128-perm MinHash is banded ``bands x rows_per_band``;
-  docs sharing a band slice land in one group and are verified pairwise with
-  the exact ``bothVideosMatch`` semantics (``functions/similarity.py``).
+  docs sharing a band slice are verified pairwise with the exact
+  ``bothVideosMatch`` semantics (``functions/similarity.py``).
 - channel 1 (ANCHOR): each doc's bottom-k distinct shingle hashes are keys;
   docs sharing an anchor with a >= ``min_containment_ratio`` size gap become
   containment *candidates* for the substring pass (north rule).  The
-  MinHash containment estimate is only a priority, never a hard gate —
-  it underestimates badly at large size skew (measured in round-1 verify).
+  MinHash containment estimate is only a priority, never a hard gate — it
+  underestimates badly at large size skew (measured in round-1 verify).
 
-Skew handling (explicit, logged, never silent — SURVEY.md §7.3):
-
-- band groups larger than ``band_group_cap`` switch from all-pairs to
-  sorted ring-linking with a window sized to keep ~cap^2 comparisons;
-  cluster connectivity survives (transitive closure re-links members),
-  individual pair emission is capped and the drop is counted.
-- anchor groups larger than the cap keep only the cap smallest docs as
-  'contained' candidates against the cap largest as 'containers'.
+Scale design: keys are shuffled as ``hash(key) % num_buckets`` and each
+bucket (thousands of key-groups) is verified by ONE vectorized call —
+per-key ``map_groups`` would pay per-group Python overhead at 10^12-file
+key cardinality (see ``state/bucketing.py``).  Hot groups larger than
+``band_group_cap`` switch from all-pairs to sorted ring-linking with a
+window keeping ~cap^2 comparisons: cluster connectivity survives the cap
+(transitive closure re-links), and capped groups are counted in the
+emitted ``group_size`` column — never silent.
 
 Emitted columns: a, b (a < b), jaccard, hamming, best_sim, kind
 ('near' verified | 'contain_cand' unverified), group_size.
@@ -35,6 +35,7 @@ import pyarrow as pa
 from ..config import PipelineConfig
 from ..functions import hashing as H
 from ..functions import similarity as S
+from ..state import bucketing as B
 
 _ANCHOR_CHANNEL_SALT = H.U64(0xA17C_0FFE_E125_9EA1)
 
@@ -65,11 +66,11 @@ def fsl_matrix(table: pa.Table, name: str, width: int) -> np.ndarray:
 
 
 class BandEmitter:
-    """Stateless-ish map_batches callable: signatures -> candidate key rows.
+    """map_batches callable: signatures -> candidate key rows.
 
     ~``bands`` band rows + <= ``anchor_k`` anchor rows per doc, each
-    carrying the verify payload so the verify runs inside the group —
-    no second join to fetch signatures.
+    carrying the verify payload so verification runs inside the shuffle
+    group — no second join to fetch signatures.
     """
 
     def __init__(self, cfg: PipelineConfig):
@@ -79,17 +80,15 @@ class BandEmitter:
         cfg = self.cfg
         n = batch.num_rows
         if n == 0:
-            return self._empty(batch)
+            return self._empty()
         low = batch.column("low_content").to_numpy(zero_copy_only=False)
         mh = fsl_matrix(batch, "minhash", cfg.num_perms)
 
         live = np.flatnonzero(~low)
-        # --- band rows ---------------------------------------------------
         bh = H.band_hashes(mh[live], cfg.bands, cfg.rows_per_band, cfg.seed)
         band_idx = np.repeat(live, cfg.bands)
         band_keys = bh.reshape(-1)
 
-        # --- anchor rows -------------------------------------------------
         anchors = _as_array(batch.column("anchors"))
         a_offsets = anchors.offsets.to_numpy(zero_copy_only=False)
         a_values = anchors.values.to_numpy(zero_copy_only=False).astype(H.U64)
@@ -98,7 +97,7 @@ class BandEmitter:
         anchor_keys = H.mix64(a_values ^ _ANCHOR_CHANNEL_SALT)
 
         idx = np.concatenate([band_idx, anchor_idx])
-        keys = np.concatenate([band_keys, anchor_keys])
+        keys = np.concatenate([band_keys, anchor_keys]).view(np.int64)
         channel = np.concatenate([
             np.zeros(len(band_idx), dtype=np.uint8),
             np.ones(len(anchor_idx), dtype=np.uint8)])
@@ -106,140 +105,162 @@ class BandEmitter:
         payload = batch.select(["doc_id", "n_tokens", "n_shingles",
                                 "simhash_head", "simhash_tail", "minhash"])
         out = payload.take(pa.array(idx, pa.int64()))
-        out = out.append_column("key", pa.array(keys, pa.uint64()))
+        out = out.append_column("key", pa.array(keys, pa.int64()))
         out = out.append_column("channel", pa.array(channel, pa.uint8()))
         return out
 
-    def _empty(self, batch: pa.Table) -> pa.Table:
+    def _empty(self) -> pa.Table:
         cfg = self.cfg
         return pa.schema([
             ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
             ("n_shingles", pa.int64()), ("simhash_head", pa.uint64()),
             ("simhash_tail", pa.uint64()),
             ("minhash", pa.list_(pa.uint64(), cfg.num_perms)),
-            ("key", pa.uint64()), ("channel", pa.uint8()),
+            ("key", pa.int64()), ("channel", pa.uint8()),
         ]).empty_table()
 
 
-class GroupVerifier:
-    """map_groups callable: one LSH/anchor bucket -> verified/candidate pairs."""
+class BucketVerifier:
+    """One call per BUCKET (thousands of key-groups), fully vectorized:
+    sort by (key, n_shingles, doc_id), find key segments, generate all
+    within-segment pairs at once, evaluate both channels in two kernel
+    calls."""
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, bucket: pa.Table) -> pa.Table:
         cfg = self.cfg
-        g = group.num_rows
-        if g < 2:
+        n = bucket.num_rows
+        if n < 2:
             return _empty_pairs()
-        channel = group.column("channel")[0].as_py()
-
-        doc_id = group.column("doc_id").to_numpy(zero_copy_only=False)
-        # one doc can reach the same anchor/band key only once; but exact
-        # signature twins are distinct docs and must stay
-        order = np.argsort(doc_id, kind="stable")
-        ntok = group.column("n_tokens").to_numpy(zero_copy_only=False)[order]
-        nsh = group.column("n_shingles").to_numpy(zero_copy_only=False)[order]
-        head = group.column("simhash_head").to_numpy(
-            zero_copy_only=False).astype(H.U64)[order]
-        tail = group.column("simhash_tail").to_numpy(
-            zero_copy_only=False).astype(H.U64)[order]
-        mh = fsl_matrix(group, "minhash", cfg.num_perms)[order]
+        key = bucket.column("key").to_numpy(zero_copy_only=False)
+        doc_id = bucket.column("doc_id").to_numpy(zero_copy_only=False)
+        nsh = bucket.column("n_shingles").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc_id, nsh, key))
+        key = key[order]
         doc_id = doc_id[order]
+        nsh = nsh[order]
+        ntok = bucket.column("n_tokens").to_numpy(zero_copy_only=False)[order]
+        chan = bucket.column("channel").to_numpy(zero_copy_only=False)[order]
+        head = bucket.column("simhash_head").to_numpy(
+            zero_copy_only=False).astype(H.U64)[order]
+        tail = bucket.column("simhash_tail").to_numpy(
+            zero_copy_only=False).astype(H.U64)[order]
+        mh = fsl_matrix(bucket, "minhash", cfg.num_perms)[order]
 
-        if channel == 0:
-            i_idx, j_idx = self._band_pairs(g)
-        else:
-            i_idx, j_idx = self._anchor_pairs(nsh)
-        if len(i_idx) == 0:
-            return _empty_pairs()
+        offsets = B.segment_boundaries(key)
+        seg_chan = chan[offsets[:-1]]
+        band_off = _filter_offsets(offsets, seg_chan == 0)
+        anch_off = _filter_offsets(offsets, seg_chan == 1)
 
-        jac = S.jaccard_from_minhash(mh[i_idx], mh[j_idx])
-        if channel == 0:
+        tables = []
+        # ---- band channel: full bothVideosMatch verification ------------
+        i_idx, j_idx, _ = B.segment_pairs(band_off, cfg.band_group_cap)
+        if len(i_idx):
+            gsz = _pair_group_sizes(band_off, i_idx)
+            jac = S.jaccard_from_minhash(mh[i_idx], mh[j_idx])
             r = S.evaluate_pairs(head[i_idx], head[j_idx],
                                  tail[i_idx], tail[j_idx],
                                  ntok[i_idx], ntok[j_idx], jac, cfg)
             keep = r["match"] & (doc_id[i_idx] != doc_id[j_idx])
-            kind = "near"
-            best_sim = r["best_sim"]
-            hamming = r["hamming"]
-        else:
-            cont = S.containment_estimate(jac, nsh[i_idx], nsh[j_idx])
-            keep = doc_id[i_idx] != doc_id[j_idx]
-            # cap confirm load per group, highest estimated containment first
-            max_pairs = cfg.band_group_cap * 4
-            if keep.sum() > max_pairs:
-                pri = np.where(keep, cont, -1.0)
-                kth = np.partition(pri, len(pri) - max_pairs)[len(pri) - max_pairs]
-                keep = keep & (pri >= kth)
-            kind = "contain_cand"
-            best_sim = np.zeros(len(i_idx), dtype=np.int64)
-            hamming = np.full(len(i_idx), 64, dtype=np.int64)
-
-        i_k, j_k = i_idx[keep], j_idx[keep]
-        if len(i_k) == 0:
+            tables.append(_pairs_table(
+                doc_id, i_idx[keep], j_idx[keep], jac[keep],
+                r["hamming"][keep], r["best_sim"][keep], "near",
+                gsz[keep]))
+        # ---- anchor channel: containment candidates ---------------------
+        i_idx, j_idx, _ = B.segment_pairs(anch_off, cfg.band_group_cap)
+        if len(i_idx):
+            gsz = _pair_group_sizes(anch_off, i_idx)
+            # rows are size-sorted within segments: i = smaller side
+            ratio_ok = nsh[j_idx] >= cfg.min_containment_ratio * nsh[i_idx]
+            guard = nsh[i_idx] >= cfg.min_shingles
+            keep = ratio_ok & guard & (doc_id[i_idx] != doc_id[j_idx])
+            i_c, j_c = i_idx[keep], j_idx[keep]
+            jac = S.jaccard_from_minhash(mh[i_c], mh[j_c])
+            # soft estimate floor: cut anchor-collision noise before the
+            # exact substring confirm (the estimate is a prioritizer, so
+            # the floor sits far below the confirm threshold)
+            est = S.containment_estimate(jac, nsh[i_c], nsh[j_c])
+            sel = est >= cfg.containment_est_floor
+            tables.append(_pairs_table(
+                doc_id, i_c[sel], j_c[sel], jac[sel],
+                np.full(int(sel.sum()), 64, dtype=np.int64),
+                np.zeros(int(sel.sum()), dtype=np.int64), "contain_cand",
+                gsz[keep][sel]))
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
             return _empty_pairs()
-        a = np.minimum(doc_id[i_k], doc_id[j_k])
-        b = np.maximum(doc_id[i_k], doc_id[j_k])
-        return pa.table({
-            "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
-            "jaccard": pa.array(jac[keep], pa.float64()),
-            "hamming": pa.array(hamming[keep].astype(np.int32), pa.int32()),
-            "best_sim": pa.array(np.asarray(best_sim)[keep].astype(np.int32),
-                                 pa.int32()),
-            "kind": pa.array([kind] * len(i_k), pa.string()),
-            "group_size": pa.array(np.full(len(i_k), g, np.int32), pa.int32()),
-        })
-
-    def _band_pairs(self, g: int) -> tuple:
-        cap = self.cfg.band_group_cap
-        if g <= cap:
-            return np.triu_indices(g, k=1)
-        # hot band: sorted ring linking, window keeps ~cap^2 comparisons
-        w = max(1, (cap * cap) // g)
-        i_list, j_list = [], []
-        for off in range(1, w + 1):
-            i_list.append(np.arange(0, g - off))
-            j_list.append(np.arange(off, g))
-        return np.concatenate(i_list), np.concatenate(j_list)
-
-    def _anchor_pairs(self, nsh_sorted_by_doc: np.ndarray) -> tuple:
-        cfg = self.cfg
-        g = len(nsh_sorted_by_doc)
-        cap = cfg.band_group_cap
-        order = np.argsort(nsh_sorted_by_doc, kind="stable")
-        small = order[:min(g, cap)]
-        big = order[-min(g, cap):]
-        ii, jj = np.meshgrid(small, big, indexing="ij")
-        ii, jj = ii.ravel(), jj.ravel()
-        ratio_ok = (nsh_sorted_by_doc[jj]
-                    >= cfg.min_containment_ratio * nsh_sorted_by_doc[ii])
-        guard = (nsh_sorted_by_doc[ii] >= cfg.min_shingles)
-        keep = ratio_ok & guard & (ii != jj)
-        return ii[keep], jj[keep]
+        return pa.concat_tables(tables)
 
 
-def candidate_pairs(signatures_ds, cfg: PipelineConfig):
+def _filter_offsets(offsets: np.ndarray, seg_mask: np.ndarray) -> np.ndarray:
+    """Segment offsets -> offsets list of the selected segments only,
+    represented as a (2, k) start/end array flattened for segment_pairs."""
+    starts = offsets[:-1][seg_mask]
+    ends = offsets[1:][seg_mask]
+    # segment_pairs expects boundary-style offsets; emulate with interleave
+    return np.stack([starts, ends], axis=1)
+
+
+def _pair_group_sizes(seg_off, i_idx):
+    # map each pair back to its segment size via searchsorted on starts
+    starts = seg_off[:, 0]
+    sizes = (seg_off[:, 1] - seg_off[:, 0]).astype(np.int32)
+    seg_of = np.searchsorted(starts, i_idx, side="right") - 1
+    return sizes[seg_of]
+
+
+def _pairs_table(doc_id, i_k, j_k, jac, hamming, best_sim, kind,
+                 group_size) -> pa.Table:
+    if len(i_k) == 0:
+        return _empty_pairs()
+    a = np.minimum(doc_id[i_k], doc_id[j_k])
+    b = np.maximum(doc_id[i_k], doc_id[j_k])
+    return pa.table({
+        "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+        "jaccard": pa.array(np.asarray(jac, dtype=np.float64), pa.float64()),
+        "hamming": pa.array(np.asarray(hamming).astype(np.int32), pa.int32()),
+        "best_sim": pa.array(np.asarray(best_sim).astype(np.int32),
+                             pa.int32()),
+        "kind": pa.array([kind] * len(i_k), pa.string()),
+        "group_size": pa.array(np.asarray(group_size).astype(np.int32),
+                               pa.int32()),
+    })
+
+
+def candidate_pairs(signatures_ds, cfg: PipelineConfig,
+                    num_buckets: int = 64):
     """signatures -> deduped pair dataset (both channels).
 
-    One flat emission, one groupby shuffle, one dedupe groupby over tiny
-    pair rows.
+    One flat emission, one bucketed shuffle + vectorized verify, one
+    bucketed dedupe over tiny pair rows.
     """
     emitted = signatures_ds.map_batches(
         BandEmitter(cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
-    verifier = GroupVerifier(cfg)
 
-    def verify_group(t: pa.Table) -> pa.Table:   # map_groups needs a function
-        return verifier(t)
+    verifier = BucketVerifier(cfg)
+    pairs = B.grouped_map(emitted, "key", B.bucket_of_ints,
+                          lambda t: verifier(t),
+                          num_buckets=num_buckets, batch_format="pyarrow")
 
-    pairs = emitted.groupby("key").map_groups(
-        verify_group, batch_format="pyarrow")
+    def _dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        # prefer verified 'near' rows over 'contain_cand' for the same pair
+        pri = (df["kind"] != "near").astype(np.int8)
+        df = df.assign(__pri=pri).sort_values(
+            ["a", "b", "__pri"], kind="stable")
+        df = df.drop_duplicates(["a", "b"], keep="first")
+        return df.drop(columns="__pri")
 
-    def _dedupe(group: pd.DataFrame) -> pd.DataFrame:
-        near = group[group["kind"] == "near"]
-        if len(near):
-            return near.iloc[[0]]
-        return group.iloc[[0]]
+    def _pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).view(H.U64)
+        bb = batch.column("b").to_numpy(zero_copy_only=False).view(H.U64)
+        pk = H.mix64(a * H.U64(0x9E3779B97F4A7C15) ^ bb).view(np.int64)
+        return batch.append_column("pair_key", pa.array(pk, pa.int64()))
 
-    return pairs.groupby(["a", "b"]).map_groups(
-        _dedupe, batch_format="pandas")
+    keyed = pairs.map_batches(_pair_bucket, batch_format="pyarrow")
+    deduped = B.grouped_map(
+        keyed, "pair_key", B.bucket_of_ints,
+        lambda df: _dedupe(df).drop(columns="pair_key"),
+        num_buckets=num_buckets, batch_format="pandas")
+    return deduped
