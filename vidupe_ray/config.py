@@ -79,7 +79,9 @@ class PipelineConfig:
     # --- execution -------------------------------------------------------
     seed: int = 42
     batch_size: int = 512         # docs per fingerprint batch (content is wide)
-    fingerprint_concurrency: int | tuple = 4   # actor pool size for FingerprintActor
+    fingerprint_mode: str = "tasks"  # "tasks" (per-process cached state) |
+                                     # "actors" (dedicated pool; for heavy state)
+    fingerprint_concurrency: int | tuple = 4   # actor pool size for mode="actors"
     lang_allowlist: tuple = ()    # empty = accept all (extensions.ini analogue,
                                   # reference mainwindow.cpp:74-93)
 

@@ -85,6 +85,50 @@ def containment_estimate(jaccard: np.ndarray, n_sh_l: np.ndarray,
     return np.minimum(c, 1.0)
 
 
+def slot_gate(head_l, head_r, tail_l, tail_r, ntok_l, ntok_r,
+              cfg: PipelineConfig) -> dict:
+    """Phase-1 (cheap) half of bothVideosMatch: slot similarities + the
+    Hamming gate, no Jaccard needed.
+
+    Mirrors the reference cost pyramid exactly (``comparison.cpp:141-147``,
+    F5 in SURVEY.md §2.3): the expensive second-stage similarity is only
+    ever computed for pairs passing this gate.  In simhash mode the gate IS
+    the final decision (``comparison.cpp:137-140``).
+
+    Returns ``gate`` (bool), ``match_final`` (bool, simhash mode only),
+    ``best_sim``, ``hamming``, ``modifier``.
+    """
+    mod = length_modifier(ntok_l, ntok_r, cfg)
+    sim_head = slot_similarity(head_l, head_r, mod)
+    sim_tail = slot_similarity(tail_l, tail_r, mod)
+    best = np.maximum(sim_head, sim_tail)
+
+    def _raw(h_l, h_r):
+        h_l = np.asarray(h_l, dtype=U64)
+        h_r = np.asarray(h_r, dtype=U64)
+        d = popcount64(h_l ^ h_r)
+        invalid = (h_l == U64(0)) & (h_r == U64(0))
+        return np.where(invalid, np.int64(64), d)
+
+    hamming = np.minimum(_raw(head_l, head_r), _raw(tail_l, tail_r))
+    if cfg.mode == "simhash":
+        gate = best >= cfg.threshold_bits
+        match_final = gate
+    else:
+        gate = best >= max(cfg.threshold_bits, cfg.ssim_gate_floor)
+        match_final = np.zeros(len(best), dtype=bool)
+    return {"gate": gate, "match_final": match_final, "best_sim": best,
+            "hamming": hamming, "modifier": mod}
+
+
+def jaccard_decision(jaccard, modifier, cfg: PipelineConfig) -> np.ndarray:
+    """Phase-2 half: ``jaccard + modifier/64 > threshold`` for gate-passing
+    pairs (``comparison.cpp:144-147``)."""
+    jac = np.asarray(jaccard, dtype=np.float64)
+    mod = np.asarray(modifier, dtype=np.int64)
+    return jac + mod / 64.0 > cfg.threshold_frac
+
+
 def evaluate_pairs(head_l, head_r, tail_l, tail_r,
                    ntok_l, ntok_r, jaccard,
                    cfg: PipelineConfig) -> dict:

@@ -39,7 +39,7 @@ from ..stages import cluster as cluster_stage
 from ..stages import exact_dedup as ed
 from ..stages import lsh
 from ..stages import verify_contain as vc
-from ..stages.fingerprint import FingerprintActor
+from ..stages.fingerprint import fingerprint_dataset
 from ..stages.normalize import normalize_batch, apply_lang_filter
 from ..state.joins import broadcast_lookup_map, apply_lookup
 
@@ -92,10 +92,7 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
         if signatures is not None:
             metrics["signatures_resumed"] = True
     if signatures is None:
-        signatures = winners.map_batches(
-            FingerprintActor, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", batch_size=cfg.batch_size,
-            concurrency=cfg.fingerprint_concurrency)
+        signatures = fingerprint_dataset(winners, cfg)
         if checkpoint_dir:
             from ..state.checkpoint import write_signatures
             signatures = write_signatures(signatures, checkpoint_dir, cfg,
@@ -108,18 +105,20 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
             signatures = signatures.materialize()
     metrics["t_fingerprint"] = time.perf_counter() - t1
 
-    # --- candidates + verification ---------------------------------------
+    # --- candidates + two-phase verification -----------------------------
     t2 = time.perf_counter()
-    pairs_all = lsh.candidate_pairs(signatures, cfg).materialize()
-    near = pairs_all.filter(expr="kind == 'near'")
-    cand = pairs_all.filter(expr="kind == 'contain_cand'")
+    cand_pairs = lsh.candidate_pairs(signatures, cfg).materialize()
+    metrics["n_candidates"] = cand_pairs.count()
+    verified = lsh.verify_candidates(cand_pairs, signatures,
+                                     cfg).materialize()
+    near = verified.filter(expr="kind == 'near'")
+    cand = verified.filter(expr="kind == 'contain_cand'")
     if cfg.containment:
         contain = vc.confirm_containment(cand, winners, cfg)
-        pairs = near.union(contain.select_columns(
-            ["a", "b", "jaccard", "hamming", "best_sim", "kind",
-             "group_size"]))
+        pairs = (near.select_columns(lsh.PAIR_OUTPUT_COLUMNS)
+                 .union(contain.select_columns(lsh.PAIR_OUTPUT_COLUMNS)))
     else:
-        pairs = near
+        pairs = near.select_columns(lsh.PAIR_OUTPUT_COLUMNS)
     pairs = pairs.materialize()
     metrics["n_pairs"] = pairs.count()
     metrics["t_candidates_verify"] = time.perf_counter() - t2

@@ -1,29 +1,32 @@
-"""LSH candidate generation + in-group verification — the shuffle that
-replaces the reference's O(n^2) all-pairs sweep (``comparison.cpp:34-42``,
-``101-126``) with O(n * bands) band rows (SURVEY.md §2.5 J1).
+"""LSH candidate generation + two-phase verification — replaces the
+reference's O(n^2) all-pairs sweep (``comparison.cpp:34-42``, ``101-126``)
+with O(n * bands) band rows (SURVEY.md §2.5 J1), preserving the two-stage
+cost pyramid of ``bothVideosMatch`` (``comparison.cpp:141-147``):
 
-Two candidate channels share one bucketed shuffle:
+- phase 1 (inside the band shuffle, CHEAP): rows carry only fixed-width
+  columns (doc_id, token/shingle counts, head/tail SimHash-64) — ~50 bytes
+  per row instead of the 1 KiB MinHash signature, a 20x lighter shuffle.
+  Within each bucket, pairs sharing a band key pass through the Hamming
+  slot gate; in simhash mode (the pHash-mode analogue) the gate IS the
+  final verdict.
+- phase 2 (per candidate pair, RICH): the ~1000x smaller candidate-pair
+  set fetches MinHash signatures by doc_id (broadcast of the id-filtered
+  signature matrix; the small side by construction) and applies the
+  Jaccard + length-modifier decision — the SSIM-stage analogue.
 
-- channel 0 (BAND): the 128-perm MinHash is banded ``bands x rows_per_band``;
-  docs sharing a band slice are verified pairwise with the exact
-  ``bothVideosMatch`` semantics (``functions/similarity.py``).
-- channel 1 (ANCHOR): each doc's bottom-k distinct shingle hashes are keys;
-  docs sharing an anchor with a >= ``min_containment_ratio`` size gap become
-  containment *candidates* for the substring pass (north rule).  The
-  MinHash containment estimate is only a priority, never a hard gate — it
-  underestimates badly at large size skew (measured in round-1 verify).
+Candidate channels sharing the one bucketed shuffle:
 
-Scale design: keys are shuffled as ``hash(key) % num_buckets`` and each
-bucket (thousands of key-groups) is verified by ONE vectorized call —
-per-key ``map_groups`` would pay per-group Python overhead at 10^12-file
-key cardinality (see ``state/bucketing.py``).  Hot groups larger than
-``band_group_cap`` switch from all-pairs to sorted ring-linking with a
-window keeping ~cap^2 comparisons: cluster connectivity survives the cap
-(transitive closure re-links), and capped groups are counted in the
-emitted ``group_size`` column — never silent.
+- channel 0 (BAND): ``bands x rows_per_band`` MinHash banding.
+- channel 1 (ANCHOR): bottom-k distinct shingle hashes; docs sharing an
+  anchor with a >= ``min_containment_ratio`` size gap become containment
+  candidates for the substring pass (north rule); phase 2 prunes them by
+  the MinHash containment estimate before the exact confirm.
 
-Emitted columns: a, b (a < b), jaccard, hamming, best_sim, kind
-('near' verified | 'contain_cand' unverified), group_size.
+Skew: keys shuffle as ``hash(key) % num_buckets`` with vectorized
+per-bucket group processing (state/bucketing.py); groups larger than
+``band_group_cap`` switch to sorted ring-linking keeping ~cap^2
+comparisons (connectivity survives; capped groups carried in
+``group_size`` — never silent).
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..config import PipelineConfig
 from ..functions import hashing as H
@@ -44,7 +48,14 @@ PAIR_SCHEMA = pa.schema([
     ("jaccard", pa.float64()), ("hamming", pa.int32()),
     ("best_sim", pa.int32()), ("kind", pa.string()),
     ("group_size", pa.int32()),
+    # phase-1 -> phase-2 carry: the length modifier and both sides'
+    # shingle counts (a-side = smaller doc_id)
+    ("modifier", pa.int32()),
+    ("nsh_a", pa.int32()), ("nsh_b", pa.int32()),
 ])
+
+PAIR_OUTPUT_COLUMNS = ["a", "b", "jaccard", "hamming", "best_sim", "kind",
+                       "group_size"]
 
 
 def _empty_pairs() -> pa.Table:
@@ -66,12 +77,8 @@ def fsl_matrix(table: pa.Table, name: str, width: int) -> np.ndarray:
 
 
 class BandEmitter:
-    """map_batches callable: signatures -> candidate key rows.
-
-    ~``bands`` band rows + <= ``anchor_k`` anchor rows per doc, each
-    carrying the verify payload so verification runs inside the shuffle
-    group — no second join to fetch signatures.
-    """
+    """map_batches callable: signatures -> slim candidate key rows
+    (~``bands`` band rows + <= ``anchor_k`` anchor rows per doc)."""
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
@@ -103,28 +110,26 @@ class BandEmitter:
             np.ones(len(anchor_idx), dtype=np.uint8)])
 
         payload = batch.select(["doc_id", "n_tokens", "n_shingles",
-                                "simhash_head", "simhash_tail", "minhash"])
+                                "simhash_head", "simhash_tail"])
         out = payload.take(pa.array(idx, pa.int64()))
         out = out.append_column("key", pa.array(keys, pa.int64()))
         out = out.append_column("channel", pa.array(channel, pa.uint8()))
         return out
 
     def _empty(self) -> pa.Table:
-        cfg = self.cfg
         return pa.schema([
             ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
             ("n_shingles", pa.int64()), ("simhash_head", pa.uint64()),
             ("simhash_tail", pa.uint64()),
-            ("minhash", pa.list_(pa.uint64(), cfg.num_perms)),
             ("key", pa.int64()), ("channel", pa.uint8()),
         ]).empty_table()
 
 
 class BucketVerifier:
-    """One call per BUCKET (thousands of key-groups), fully vectorized:
+    """Phase 1, one call per BUCKET (thousands of key-groups), vectorized:
     sort by (key, n_shingles, doc_id), find key segments, generate all
-    within-segment pairs at once, evaluate both channels in two kernel
-    calls."""
+    within-segment pairs, apply the Hamming slot gate / the containment
+    ratio+guard filters."""
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
@@ -147,7 +152,6 @@ class BucketVerifier:
             zero_copy_only=False).astype(H.U64)[order]
         tail = bucket.column("simhash_tail").to_numpy(
             zero_copy_only=False).astype(H.U64)[order]
-        mh = fsl_matrix(bucket, "minhash", cfg.num_perms)[order]
 
         offsets = B.segment_boundaries(key)
         seg_chan = chan[offsets[:-1]]
@@ -155,19 +159,19 @@ class BucketVerifier:
         anch_off = _filter_offsets(offsets, seg_chan == 1)
 
         tables = []
-        # ---- band channel: full bothVideosMatch verification ------------
+        # ---- band channel: Hamming slot gate ----------------------------
         i_idx, j_idx, _ = B.segment_pairs(band_off, cfg.band_group_cap)
         if len(i_idx):
             gsz = _pair_group_sizes(band_off, i_idx)
-            jac = S.jaccard_from_minhash(mh[i_idx], mh[j_idx])
-            r = S.evaluate_pairs(head[i_idx], head[j_idx],
-                                 tail[i_idx], tail[j_idx],
-                                 ntok[i_idx], ntok[j_idx], jac, cfg)
-            keep = r["match"] & (doc_id[i_idx] != doc_id[j_idx])
+            r = S.slot_gate(head[i_idx], head[j_idx],
+                            tail[i_idx], tail[j_idx],
+                            ntok[i_idx], ntok[j_idx], cfg)
+            keep = r["gate"] & (doc_id[i_idx] != doc_id[j_idx])
+            kind = "near" if cfg.mode == "simhash" else "near_cand"
             tables.append(_pairs_table(
-                doc_id, i_idx[keep], j_idx[keep], jac[keep],
-                r["hamming"][keep], r["best_sim"][keep], "near",
-                gsz[keep]))
+                doc_id, nsh, i_idx[keep], j_idx[keep],
+                r["hamming"][keep], r["best_sim"][keep],
+                r["modifier"][keep], kind, gsz[keep]))
         # ---- anchor channel: containment candidates ---------------------
         i_idx, j_idx, _ = B.segment_pairs(anch_off, cfg.band_group_cap)
         if len(i_idx):
@@ -176,18 +180,13 @@ class BucketVerifier:
             ratio_ok = nsh[j_idx] >= cfg.min_containment_ratio * nsh[i_idx]
             guard = nsh[i_idx] >= cfg.min_shingles
             keep = ratio_ok & guard & (doc_id[i_idx] != doc_id[j_idx])
-            i_c, j_c = i_idx[keep], j_idx[keep]
-            jac = S.jaccard_from_minhash(mh[i_c], mh[j_c])
-            # soft estimate floor: cut anchor-collision noise before the
-            # exact substring confirm (the estimate is a prioritizer, so
-            # the floor sits far below the confirm threshold)
-            est = S.containment_estimate(jac, nsh[i_c], nsh[j_c])
-            sel = est >= cfg.containment_est_floor
+            nk = int(keep.sum())
             tables.append(_pairs_table(
-                doc_id, i_c[sel], j_c[sel], jac[sel],
-                np.full(int(sel.sum()), 64, dtype=np.int64),
-                np.zeros(int(sel.sum()), dtype=np.int64), "contain_cand",
-                gsz[keep][sel]))
+                doc_id, nsh, i_idx[keep], j_idx[keep],
+                np.full(nk, 64, dtype=np.int64),
+                np.zeros(nk, dtype=np.int64),
+                np.zeros(nk, dtype=np.int64), "contain_cand",
+                gsz[keep]))
         tables = [t for t in tables if t.num_rows]
         if not tables:
             return _empty_pairs()
@@ -195,45 +194,47 @@ class BucketVerifier:
 
 
 def _filter_offsets(offsets: np.ndarray, seg_mask: np.ndarray) -> np.ndarray:
-    """Segment offsets -> offsets list of the selected segments only,
-    represented as a (2, k) start/end array flattened for segment_pairs."""
     starts = offsets[:-1][seg_mask]
     ends = offsets[1:][seg_mask]
-    # segment_pairs expects boundary-style offsets; emulate with interleave
     return np.stack([starts, ends], axis=1)
 
 
 def _pair_group_sizes(seg_off, i_idx):
-    # map each pair back to its segment size via searchsorted on starts
     starts = seg_off[:, 0]
     sizes = (seg_off[:, 1] - seg_off[:, 0]).astype(np.int32)
     seg_of = np.searchsorted(starts, i_idx, side="right") - 1
     return sizes[seg_of]
 
 
-def _pairs_table(doc_id, i_k, j_k, jac, hamming, best_sim, kind,
+def _pairs_table(doc_id, nsh, i_k, j_k, hamming, best_sim, modifier, kind,
                  group_size) -> pa.Table:
     if len(i_k) == 0:
         return _empty_pairs()
-    a = np.minimum(doc_id[i_k], doc_id[j_k])
-    b = np.maximum(doc_id[i_k], doc_id[j_k])
+    swap = doc_id[i_k] > doc_id[j_k]
+    a_i = np.where(swap, j_k, i_k)
+    b_i = np.where(swap, i_k, j_k)
     return pa.table({
-        "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
-        "jaccard": pa.array(np.asarray(jac, dtype=np.float64), pa.float64()),
+        "a": pa.array(doc_id[a_i], pa.int64()),
+        "b": pa.array(doc_id[b_i], pa.int64()),
+        "jaccard": pa.array(np.full(len(i_k), -1.0), pa.float64()),
         "hamming": pa.array(np.asarray(hamming).astype(np.int32), pa.int32()),
         "best_sim": pa.array(np.asarray(best_sim).astype(np.int32),
                              pa.int32()),
         "kind": pa.array([kind] * len(i_k), pa.string()),
         "group_size": pa.array(np.asarray(group_size).astype(np.int32),
                                pa.int32()),
+        "modifier": pa.array(np.asarray(modifier).astype(np.int32),
+                             pa.int32()),
+        "nsh_a": pa.array(nsh[a_i].astype(np.int32), pa.int32()),
+        "nsh_b": pa.array(nsh[b_i].astype(np.int32), pa.int32()),
     })
 
 
 def candidate_pairs(signatures_ds, cfg: PipelineConfig,
                     num_buckets: int = 64):
-    """signatures -> deduped pair dataset (both channels).
+    """signatures -> deduped phase-1 pair dataset (both channels).
 
-    One flat emission, one bucketed shuffle + vectorized verify, one
+    One slim emission, one bucketed shuffle + vectorized gate, one
     bucketed dedupe over tiny pair rows.
     """
     emitted = signatures_ds.map_batches(
@@ -245,8 +246,8 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig,
                           num_buckets=num_buckets, batch_format="pyarrow")
 
     def _dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        # prefer verified 'near' rows over 'contain_cand' for the same pair
-        pri = (df["kind"] != "near").astype(np.int8)
+        # prefer near/near_cand rows over contain_cand for the same pair
+        pri = (df["kind"] == "contain_cand").astype(np.int8)
         df = df.assign(__pri=pri).sort_values(
             ["a", "b", "__pri"], kind="stable")
         df = df.drop_duplicates(["a", "b"], keep="first")
@@ -264,3 +265,92 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig,
         lambda df: _dedupe(df).drop(columns="pair_key"),
         num_buckets=num_buckets, batch_format="pandas")
     return deduped
+
+
+def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig):
+    """Phase 2: fetch MinHash signatures for candidate doc ids only and
+    apply the Jaccard + length-modifier decision (the SSIM-stage analogue,
+    ``comparison.cpp:144-147``) plus the containment-estimate pruning.
+
+    The candidate id set is orders of magnitude smaller than the corpus;
+    its signature matrix is broadcast once (``ray.put``) — the 'small side
+    broadcast' join pattern.  Returns a dataset of verified 'near' pairs
+    and surviving 'contain_cand' pairs (for the substring confirm).
+    """
+    from .verify_contain import collect_ids
+    ids = collect_ids(pairs_ds)
+    if len(ids) == 0:
+        import ray.data as rd
+        return rd.from_arrow(_empty_pairs())
+    if len(ids) > cfg.broadcast_cap:
+        raise ValueError(
+            f"{len(ids)} candidate docs exceed broadcast_cap "
+            f"({cfg.broadcast_cap}); enable the bucketed signature join "
+            "for this scale")
+    ids_sorted = np.sort(ids)
+    want_ref = ray.put(ids_sorted)
+
+    def _grab(batch: pa.Table) -> pa.Table:
+        want = ray.get(want_ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(want, d), len(want) - 1)
+        return batch.select(["doc_id", "minhash"]).filter(
+            pa.array(want[pos] == d))
+
+    sub = signatures_ds.map_batches(_grab, batch_format="pyarrow")
+    id_arr, mh_parts = [], []
+    for b in sub.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        id_arr.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+        mh_parts.append(fsl_matrix(b, "minhash", cfg.num_perms))
+    id_arr = np.concatenate(id_arr) if id_arr else np.empty(0, np.int64)
+    mh = (np.concatenate(mh_parts, axis=0) if mh_parts
+          else np.empty((0, cfg.num_perms), H.U64))
+    order = np.argsort(id_arr, kind="stable")
+    sig_ref = ray.put((id_arr[order], mh[order]))
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        sig_ids, sig_mh = ray.get(sig_ref)
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b_ = batch.column("b").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(sig_ids, a)
+        ib = np.searchsorted(sig_ids, b_)
+        jac = S.jaccard_from_minhash(sig_mh[ia], sig_mh[ib])
+        kind = np.asarray(batch.column("kind").to_pylist())
+        mod = batch.column("modifier").to_numpy(zero_copy_only=False)
+        keep = kind == "near"                # simhash mode: already decided
+        out_kind = kind.copy()
+
+        nsh_a = batch.column("nsh_a").to_numpy(zero_copy_only=False)
+        nsh_b = batch.column("nsh_b").to_numpy(zero_copy_only=False)
+        nsh_sm = np.minimum(nsh_a, nsh_b)
+        nsh_bg = np.maximum(nsh_a, nsh_b)
+        est = S.containment_estimate(jac, nsh_a, nsh_b)
+        contain_ok = ((nsh_bg >= cfg.min_containment_ratio * nsh_sm)
+                      & (nsh_sm >= cfg.min_shingles)
+                      & (est >= cfg.containment_est_floor))
+
+        nc = kind == "near_cand"
+        if nc.any():
+            dec = S.jaccard_decision(jac, mod, cfg)
+            keep = keep | (nc & dec)
+            out_kind = np.where(nc & dec, "near", out_kind)
+            # a gate-passing pair that fails the Jaccard decision may still
+            # be a containment duplicate (truncated/embedded docs): route it
+            # to the substring confirm — dedupe dropped its anchor-channel
+            # twin in favor of this row
+            demote = nc & ~dec & contain_ok
+            keep = keep | demote
+            out_kind = np.where(demote, "contain_cand", out_kind)
+
+        cc = kind == "contain_cand"
+        if cc.any():
+            keep = keep | (cc & contain_ok)
+        t = batch.set_column(batch.schema.get_field_index("jaccard"),
+                             "jaccard", pa.array(jac, pa.float64()))
+        t = t.set_column(t.schema.get_field_index("kind"), "kind",
+                         pa.array(out_kind, pa.string()))
+        return t.filter(pa.array(keep))
+
+    return pairs_ds.map_batches(_verify, batch_format="pyarrow")
