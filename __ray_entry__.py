@@ -138,6 +138,34 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(sf_dir)
 
 
+def q_doc_fingerprints(sf_dir: str):
+    from vidupe_ray.pipelines.textops import doc_fingerprints
+    return doc_fingerprints(sf_dir)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing exercised on synthesized binary payloads (text
+    bytes as media) — decode is a deterministic stub (task brief)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from vidupe_ray.stages.multimodal import extract_media_features
+
+    def _as_media(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media": pa.array([t.encode() for t in texts], pa.binary()),
+            "media_type": pa.array(["text/plain"] * len(texts),
+                                   pa.string()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).map_batches(
+        _as_media, batch_format="pyarrow")
+    return extract_media_features(ds, concurrency=2).select_columns(
+        ["doc_id", "media_type", "n_bytes", "status"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": q_normalize_docs,
@@ -155,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_pairs": q_dedup_pairs,
         "signatures": q_signatures,
+        "doc_fingerprints": q_doc_fingerprints,
+        "media_features": q_media_features,
     }
 
 
@@ -297,7 +327,14 @@ def oracle_sql() -> dict[str, str]:
         FROM d JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
         WHERE dot / (na.nrm * nb.nrm) >= 0.45"""
 
+    media_features = """
+        SELECT doc_id, 'text/plain' AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               CASE WHEN text = '' THEN 'empty' ELSE 'ok' END AS status
+        FROM documents"""
+
     return {
+        "media_features": media_features,
         "normalize_docs": normalize_docs,
         "doc_stats": doc_stats,
         "exact_dedup": exact_dedup,

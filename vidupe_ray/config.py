@@ -36,7 +36,10 @@ from dataclasses import asdict, dataclass, field
 class PipelineConfig:
     # --- shingling / signatures ------------------------------------------
     shingle_k: int = 7            # tokens per shingle
-    num_perms: int = 128          # MinHash permutations
+    num_perms: int = 128          # MinHash signature width (bins for oph)
+    minhash_scheme: str = "oph"   # "oph" (one-permutation + densification,
+                                  # one pass over shingles) | "kperm"
+                                  # (classic 128 independent permutations)
     bands: int = 16               # LSH bands
     rows_per_band: int = 8        # bands * rows_per_band == num_perms
     simhash_bits: int = 64        # fixed: one uint64 per slot
@@ -79,6 +82,11 @@ class PipelineConfig:
     # --- execution -------------------------------------------------------
     seed: int = 42
     batch_size: int = 512         # docs per fingerprint batch (content is wide)
+    target_blocks: int | None = None  # block count for the main dataset chain;
+                                      # default 2x available CPUs.  Hundreds of
+                                      # tiny blocks make every sort-shuffle a
+                                      # scheduling storm (measured 5.6s -> 0.85s
+                                      # for the exact-dedup groupby at 50k rows)
     fingerprint_mode: str = "tasks"  # "tasks" (per-process cached state) |
                                      # "actors" (dedicated pool; for heavy state)
     fingerprint_concurrency: int | tuple = 4   # actor pool size for mode="actors"
@@ -107,6 +115,7 @@ class PipelineConfig:
         sig_fields = {
             "shingle_k": self.shingle_k,
             "num_perms": self.num_perms,
+            "minhash_scheme": self.minhash_scheme,
             "head_tail_window": self.head_tail_window,
             "min_shingles": self.min_shingles,
             "anchor_k": self.anchor_k,

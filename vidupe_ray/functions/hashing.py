@@ -134,12 +134,19 @@ def make_perm_params(num_perms: int, seed: int) -> tuple:
     return a, b
 
 
+_MINHASH_BUF: dict = {}
+_SIMHASH_BUF: dict = {}
+
+
 def minhash_from_shingles(sh: np.ndarray, sh_offsets: np.ndarray,
                           a: np.ndarray, b: np.ndarray,
                           perm_chunk: int = 16) -> np.ndarray:
     """(D, P) uint64 MinHash signatures via chunked minimum.reduceat.
 
     Empty docs get all-UINT64_MAX signatures (never collide in LSH).
+    The (M, chunk) hash workspace is reused across calls (per process) —
+    repeated multi-MB allocations across 32 concurrent workers turn into
+    kernel page-zeroing contention otherwise.
     """
     ndocs = len(sh_offsets) - 1
     P = len(a)
@@ -149,12 +156,92 @@ def minhash_from_shingles(sh: np.ndarray, sh_offsets: np.ndarray,
     if len(nonempty) == 0:
         return sig
     starts_ne = starts[nonempty].astype(np.int64)
+    M = len(sh)
+    buf = _MINHASH_BUF.get(perm_chunk)
+    if buf is None or buf.shape[0] < M:
+        buf = np.empty((max(M, 1 << 16), perm_chunk), dtype=U64)
+        _MINHASH_BUF[perm_chunk] = buf
     for p0 in range(0, P, perm_chunk):
         p1 = min(p0 + perm_chunk, P)
-        # (M, chunk) hashed values; uint64 wraparound multiply-shift family
-        v = sh[:, None] * a[None, p0:p1] + b[None, p0:p1]
+        w = p1 - p0
+        v = buf[:M, :w]
+        np.multiply(sh[:, None], a[None, p0:p1], out=v)
+        v += b[None, p0:p1]
         mins = np.minimum.reduceat(v, starts_ne, axis=0)
         sig[nonempty, p0:p1] = mins
+    return sig
+
+
+def minhash_signatures_cfg(sh: np.ndarray, sh_offsets: np.ndarray,
+                           cfg) -> np.ndarray:
+    """Scheme switch shared by the fingerprint stage AND the brute-force
+    oracle, so the two can never drift (cfg.minhash_scheme)."""
+    if cfg.minhash_scheme == "oph":
+        return oph_minhash(sh, sh_offsets, cfg.num_perms, cfg.seed)
+    a, b = make_perm_params(cfg.num_perms, cfg.seed)
+    return minhash_from_shingles(sh, sh_offsets, a, b)
+
+
+_OPH_BIN_SALT = U64(0xB1A5_0B1A_5EED_0001)
+
+
+def oph_minhash(sh: np.ndarray, sh_offsets: np.ndarray, num_bins: int,
+                seed: int) -> np.ndarray:
+    """One-permutation MinHash with optimal densification.
+
+    Classic k-perm MinHash touches every shingle ``k`` times (k=128 passes
+    of multiply+reduce — ~200 MB of memory traffic per 512-doc batch, which
+    saturates DRAM long before 32 cores are busy).  OPH (Li et al. 2012)
+    makes ONE pass: each shingle hash is assigned to one of ``num_bins``
+    bins by its (salted) top bits; the signature component for a bin is the
+    minimum shingle hash landing in it.  Empty bins are filled by optimal
+    densification (Shrivastava 2017): borrow the value of a
+    uniformly-hash-chosen non-empty bin, so the equal-component fraction
+    remains a consistent Jaccard estimator and empty-empty bins never
+    spuriously match across docs.
+
+    Returns (D, num_bins) uint64; all-empty docs stay all-UINT64_MAX
+    (never collide in LSH).  Deterministic: no RNG, only hashes of
+    (doc-local bin index, salt).
+    """
+    ndocs = len(sh_offsets) - 1
+    sig = np.full((ndocs, num_bins), _UINT64_MAX, dtype=U64)
+    M = len(sh)
+    if M == 0:
+        return sig
+    bin_bits = int(np.log2(num_bins))
+    if (1 << bin_bits) != num_bins:
+        raise ValueError("num_bins must be a power of two")
+    bins = (mix64(sh ^ (_OPH_BIN_SALT + U64(seed)))
+            >> U64(64 - bin_bits)).astype(np.int64)
+    counts = np.diff(sh_offsets)
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+    key = doc_idx * num_bins + bins
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    vs = sh[order]
+    starts = np.concatenate(
+        [[0], np.flatnonzero(ks[1:] != ks[:-1]) + 1]).astype(np.int64)
+    mins = np.minimum.reduceat(vs, starts)
+    sig.reshape(-1)[ks[starts]] = mins
+
+    # --- optimal densification (vectorized over the whole batch) ---------
+    empty = sig == _UINT64_MAX                      # (D, B)
+    n_non = num_bins - empty.sum(axis=1)            # non-empty bins per doc
+    docs_e, bins_e = np.nonzero(empty)
+    live = n_non[docs_e] > 0
+    docs_e, bins_e = docs_e[live], bins_e[live]
+    if len(docs_e):
+        _, bins_n = np.nonzero(~empty)              # row-major: doc-grouped
+        off = np.concatenate([[0], np.cumsum(n_non)]).astype(np.int64)
+        # the borrow source is a function of (empty-bin index, seed) and the
+        # doc's own occupancy ONLY — never of the batch-local doc index —
+        # so a doc's signature is identical whatever batch it lands in and
+        # identical shingle sets yield identical signatures
+        r = (mix64(bins_e.astype(U64) * _GOLDEN + U64(seed))
+             % n_non[docs_e].astype(U64)).astype(np.int64)
+        src = bins_n[off[docs_e] + r]
+        sig[docs_e, bins_e] = sig[docs_e, src]
     return sig
 
 
@@ -170,10 +257,16 @@ def simhash_multi(sh: np.ndarray, segment_sets: list) -> list:
     """
     if len(sh) == 0:
         return [np.zeros(len(s), dtype=U64) for s, _ in segment_sets]
+    M = len(sh)
+    cum_buf = _SIMHASH_BUF.get("cum")
+    if cum_buf is None or cum_buf.shape[0] < M + 1:
+        cum_buf = np.empty((max(M + 1, 1 << 16), 64), dtype=np.int32)
+        _SIMHASH_BUF["cum"] = cum_buf
     bits = np.unpackbits(
         np.ascontiguousarray(sh, dtype=U64).view(np.uint8).reshape(-1, 8),
         axis=1, bitorder="little")                       # (M, 64) uint8
-    cum = np.zeros((len(sh) + 1, 64), dtype=np.int32)
+    cum = cum_buf[:M + 1]
+    cum[0] = 0
     np.cumsum(bits, axis=0, dtype=np.int32, out=cum[1:])
     outs = []
     for seg_starts, seg_ends in segment_sets:
@@ -193,6 +286,48 @@ def simhash_segments(sh: np.ndarray, seg_starts: np.ndarray,
                      seg_ends: np.ndarray) -> np.ndarray:
     """Single-segment-set convenience wrapper over ``simhash_multi``."""
     return simhash_multi(sh, [(seg_starts, seg_ends)])[0]
+
+
+def simhash_doc_slots(sh: np.ndarray, sh_offsets: np.ndarray,
+                      window: int) -> tuple:
+    """(full, head, tail) SimHash slots per doc — cache-resident variant.
+
+    ``simhash_multi`` builds an (M, 64) int32 prefix-count matrix: ~70 MB
+    of DRAM writes per 512-doc batch, which anti-scaled 32-way workers on a
+    shared memory controller (measured: the simhash stage alone went 24s at
+    8 CPUs -> 40s at 32).  Here each doc's (m, 64) bit matrix (~34 KB)
+    lives entirely in L2: one unpackbits + three small column sums per
+    doc, DRAM traffic = the shingle array read once.  Bit-identical to the
+    segment implementation (shared sign rule), tested against it.
+    """
+    ndocs = len(sh_offsets) - 1
+    full = np.zeros(ndocs, dtype=U64)
+    head = np.zeros(ndocs, dtype=U64)
+    tail = np.zeros(ndocs, dtype=U64)
+    sh = np.ascontiguousarray(sh, dtype=U64)
+    bytes_view = sh.view(np.uint8).reshape(-1, 8)
+
+    def _pack(counts: np.ndarray, n: int) -> np.uint64:
+        bitmap = (2 * counts >= n).astype(np.uint8)
+        return np.packbits(bitmap, bitorder="little").view(U64)[0]
+
+    for d in range(ndocs):
+        s, e = int(sh_offsets[d]), int(sh_offsets[d + 1])
+        m = e - s
+        if m == 0:
+            continue
+        bits = np.unpackbits(bytes_view[s:e], axis=1, bitorder="little")
+        c_full = bits.sum(axis=0, dtype=np.int64)
+        full[d] = _pack(c_full, m)
+        if m <= window:
+            head[d] = full[d]
+            tail[d] = full[d]
+        else:
+            head[d] = _pack(bits[:window].sum(axis=0, dtype=np.int64),
+                            window)
+            tail[d] = _pack(bits[m - window:].sum(axis=0, dtype=np.int64),
+                            window)
+    return full, head, tail
 
 
 def head_tail_ranges(sh_offsets: np.ndarray, window: int) -> tuple:

@@ -67,6 +67,13 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
             lambda t: apply_lang_filter(t, cfg.lang_allowlist),
             batch_format="pyarrow")
 
+    # right-size the block count once, up front: every downstream shuffle's
+    # task fan-out scales with it (parquet row-group splits often produce
+    # hundreds of tiny blocks)
+    nblocks = cfg.target_blocks or max(
+        8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    corpus_ds = corpus_ds.repartition(nblocks)
+
     docs = corpus_ds.map_batches(normalize_batch, batch_format="pyarrow")
     docs = docs.materialize()   # consumed by 3 branches (winners, rejects,
                                 # containment content fetch); tiny at test
@@ -178,6 +185,33 @@ def assign_clusters(docs_ds, parents_ds, cfg: PipelineConfig):
     return B.grouped_map(assigned, "cluster_id", B.bucket_of_ints,
                          _canonical_bucket, num_buckets=cfg.join_buckets,
                          batch_format="pandas")
+
+
+def clusters_with_identity(res: DedupResult, cfg: PipelineConfig):
+    """Join cluster verdicts back to identity columns (repo/path/commit) —
+    the lookup-join analogue of the match dialog re-reading file info
+    (``comparison.cpp:86,111``, SURVEY.md §2.5 J6).
+
+    The parent side of the join is the clusters dataset keyed by doc_id;
+    identity rides the docs dataset.  Implemented as a broadcast of the
+    (doc_id -> cluster_id, is_canonical) map over the docs scan — clusters
+    of a dedup run are the small side by construction.
+    """
+    from ..state.joins import broadcast_lookup_map, apply_lookup
+    k_ref, v_ref, _ = broadcast_lookup_map(
+        res.clusters.select_columns(["doc_id", "cluster_id"]),
+        "doc_id", "cluster_id", cfg.broadcast_cap)
+
+    def _join(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cid = apply_lookup(ids.astype(np.int64), k_ref, v_ref)
+        return batch.select(
+            ["repo", "path", "commit", "lang", "doc_id",
+             "n_bytes", "sha256"]).append_column(
+            "cluster_id", pa.array(cid, pa.int64()))
+
+    ok = res.docs.filter(expr="status == 'ok'")
+    return ok.map_batches(_join, batch_format="pyarrow")
 
 
 def cluster_report(clusters_ds):

@@ -34,10 +34,8 @@ def compute_signatures(corpus: pa.Table, cfg: PipelineConfig) -> dict:
     token_lists = [tokenize(c) for c in canon]
     th, off = H.hash_token_lists(token_lists)
     sh, sh_off = H.shingles_from_tokens(th, off, cfg.shingle_k, cfg.seed)
-    a, b = H.make_perm_params(cfg.num_perms, cfg.seed)
-    minhash = H.minhash_from_shingles(sh, sh_off, a, b)
-    (hs, he), (ts, te) = H.head_tail_ranges(sh_off, cfg.head_tail_window)
-    head, tail = H.simhash_multi(sh, [(hs, he), (ts, te)])
+    minhash = H.minhash_signatures_cfg(sh, sh_off, cfg)
+    _, head, tail = H.simhash_doc_slots(sh, sh_off, cfg.head_tail_window)
     n_sh = np.diff(sh_off).astype(np.int64)
     low = n_sh < cfg.min_shingles
     head[low] = H.U64(0)

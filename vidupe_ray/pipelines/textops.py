@@ -196,6 +196,42 @@ def langid_guess(sf_dir: str):
         _guess, batch_format="pandas")
 
 
+def doc_fingerprints(sf_dir: str, window: int = 8):
+    """Winnowing document fingerprints (Schleimer et al. 2003): the minimum
+    shingle hash of every sliding window of ``window`` shingles, deduped —
+    the rolling-hash fingerprint selection used by plagiarism/dup detectors.
+    Output: doc_id, n_fingerprints, fingerprint_xor (order-insensitive
+    digest of the selected set)."""
+    from vidupe_ray.functions import hashing as H
+    from vidupe_ray.functions.text import canonicalize, tokenize
+    from vidupe_ray.config import DEFAULT_CONFIG as _cfg
+
+    def _fp(df: pd.DataFrame) -> pd.DataFrame:
+        token_lists = [tokenize(canonicalize(t))
+                       for t in df["text"].fillna("")]
+        th, off = H.hash_token_lists(token_lists)
+        sh, sh_off = H.shingles_from_tokens(th, off, _cfg.shingle_k,
+                                            _cfg.seed)
+        n = len(df)
+        n_fps = np.zeros(n, dtype=np.int64)
+        xors = np.zeros(n, dtype=np.uint64)
+        for d in range(n):
+            seg = sh[sh_off[d]:sh_off[d + 1]]
+            if len(seg) == 0:
+                continue
+            w = min(window, len(seg))
+            view = np.lib.stride_tricks.sliding_window_view(seg, w)
+            sel = np.unique(view.min(axis=1))
+            n_fps[d] = len(sel)
+            xors[d] = np.bitwise_xor.reduce(sel)
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "n_fingerprints": n_fps,
+                             "fingerprint_xor": xors.astype("uint64")})
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _fp, batch_format="pandas")
+
+
 def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int = 200,
                           threshold_ppm: int = 200_000):
     """Distributed exact n-gram (word-trigram) set-similarity join: doc ->

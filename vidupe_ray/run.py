@@ -1,0 +1,95 @@
+"""Job entry point: ``python -m vidupe_ray.run --input DIR --output DIR``.
+
+The ``ray job submit`` surface (SURVEY.md §2.11): on a cluster,
+
+    ray job submit --working-dir . -- python -m vidupe_ray.run \\
+        --input s3://corpus/parquet --output s3://out/dedup
+
+Owns the Ray session (scripts own sessions; the library never calls
+ray.init — driver contract).  Writes resumable partitioned Parquet outputs
+plus metrics/lineage JSON (the S8/S9 sinks: where the reference mutated
+the filesystem after user confirmation, ``comparison.cpp:388-476``, we
+emit datasets with keep/drop verdicts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# allocator tuning for Ray worker processes (see bench.py for the measured
+# rationale); harmless if already set by the environment
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_ARENA_MAX", "4")
+os.environ.setdefault("PYTHONMALLOC", "malloc")
+
+
+def write_outputs(res, out_dir: str) -> dict:
+    """Partitioned parquet per output dataset + metrics json.
+
+    Each dataset goes to its own directory (one part file per block) so a
+    rerun with a different stage can skip finished outputs; signature
+    checkpoints already live under the checkpoint dir.
+    """
+    counts = {}
+    for name, ds in [("clusters", res.clusters), ("pairs", res.pairs),
+                     ("rejects", res.rejects)]:
+        d = os.path.join(out_dir, name)
+        os.makedirs(d, exist_ok=True)
+        ds.write_parquet(d)
+        counts[name] = ds.count()
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump({**res.metrics, **{f"n_{k}": v for k, v in counts.items()}},
+                  f, indent=2, default=str)
+    return counts
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Ray-Data near-dup pipeline")
+    p.add_argument("--input", required=True,
+                   help="parquet file/dir with (repo,path,commit,lang,content)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--mode", choices=["jaccard", "simhash"],
+                   default="jaccard")
+    p.add_argument("--threshold-pct", type=int, default=89)
+    p.add_argument("--lang", action="append", default=[],
+                   help="lang allowlist entries (repeatable)")
+    p.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = p.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from vidupe_ray.config import PipelineConfig
+    from vidupe_ray.pipelines.dedup import run_dedup, cluster_report
+    from vidupe_ray.sources.corpus_source import read_corpus
+
+    cfg = PipelineConfig(mode=args.mode, threshold_pct=args.threshold_pct,
+                         lang_allowlist=tuple(args.lang))
+    t0 = time.perf_counter()
+    res = run_dedup(read_corpus(args.input), cfg,
+                    checkpoint_dir=args.checkpoint_dir)
+    counts = write_outputs(res, args.output)
+    report = cluster_report(res.clusters)
+    summary = {"wall_sec": round(time.perf_counter() - t0, 2),
+               **counts, **report,
+               "files_per_sec": round(
+                   res.metrics.get("n_input", 0)
+                   / max(time.perf_counter() - t0, 1e-9), 1)}
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

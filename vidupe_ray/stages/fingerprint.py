@@ -35,7 +35,6 @@ class FingerprintActor:
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
-        self.a, self.b = H.make_perm_params(cfg.num_perms, cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -48,11 +47,10 @@ class FingerprintActor:
         n_shingles = np.diff(sh_off).astype(np.int64)
         low = n_shingles < cfg.min_shingles
 
-        minhash = H.minhash_from_shingles(sh, sh_off, self.a, self.b)
-        (hs, he), (ts, te) = H.head_tail_ranges(sh_off, cfg.head_tail_window)
-        # one shared bit-count pass for all three sketch slots
-        simhash, head, tail = H.simhash_multi(
-            sh, [(sh_off[:-1], sh_off[1:]), (hs, he), (ts, te)])
+        minhash = H.minhash_signatures_cfg(sh, sh_off, cfg)
+        # cache-resident per-doc slot computation (see simhash_doc_slots)
+        simhash, head, tail = H.simhash_doc_slots(sh, sh_off,
+                                                  cfg.head_tail_window)
         # monochrome-reject analogue: zero out sketches of low-content docs
         simhash[low] = H.U64(0)
         head[low] = H.U64(0)

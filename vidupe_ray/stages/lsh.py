@@ -42,6 +42,8 @@ from ..functions import similarity as S
 from ..state import bucketing as B
 
 _ANCHOR_CHANNEL_SALT = H.U64(0xA17C_0FFE_E125_9EA1)
+_SLOT_HEAD_SALT = H.U64(0x51DE_C0DE_0000_0001)
+_SLOT_TAIL_SALT = H.U64(0x51DE_C0DE_0000_0002)
 
 PAIR_SCHEMA = pa.schema([
     ("a", pa.int64()), ("b", pa.int64()),
@@ -103,11 +105,29 @@ class BandEmitter:
         anchor_idx = np.repeat(np.arange(n), a_counts)
         anchor_keys = H.mix64(a_values ^ _ANCHOR_CHANNEL_SALT)
 
-        idx = np.concatenate([band_idx, anchor_idx])
-        keys = np.concatenate([band_keys, anchor_keys]).view(np.int64)
-        channel = np.concatenate([
-            np.zeros(len(band_idx), dtype=np.uint8),
-            np.ones(len(anchor_idx), dtype=np.uint8)])
+        idx_parts = [band_idx, anchor_idx]
+        key_parts = [band_keys, anchor_keys]
+        chan_parts = [np.zeros(len(band_idx), dtype=np.uint8),
+                      np.ones(len(anchor_idx), dtype=np.uint8)]
+        if cfg.mode == "simhash":
+            # pHash-mode extra channel: exact slot-equality keys.  The
+            # reference matches any pair whose begin- or end-hash is close
+            # regardless of whole-doc similarity (comparison.cpp:133-140);
+            # MinHash bands cannot generate low-Jaccard candidates, so
+            # identical-window pairs get their own keys (d=0 case; the
+            # d>0, low-J corner is a documented recall envelope).
+            head_v = batch.column("simhash_head").to_numpy(
+                zero_copy_only=False).astype(H.U64)[live]
+            tail_v = batch.column("simhash_tail").to_numpy(
+                zero_copy_only=False).astype(H.U64)[live]
+            idx_parts += [live, live]
+            key_parts += [H.mix64(head_v ^ _SLOT_HEAD_SALT),
+                          H.mix64(tail_v ^ _SLOT_TAIL_SALT)]
+            chan_parts += [np.zeros(len(live), dtype=np.uint8),
+                           np.zeros(len(live), dtype=np.uint8)]
+        idx = np.concatenate(idx_parts)
+        keys = np.concatenate(key_parts).view(np.int64)
+        channel = np.concatenate(chan_parts)
 
         payload = batch.select(["doc_id", "n_tokens", "n_shingles",
                                 "simhash_head", "simhash_tail"])
