@@ -1,0 +1,67 @@
+"""Checkpoint/resume tests — the cache.db semantic (SURVEY.md §5.4):
+rerun must skip fingerprinting and produce identical output; stale or
+config-mismatched checkpoints must never be read."""
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from vidupe_ray.config import PipelineConfig
+from vidupe_ray.corpus import generate_corpus
+from vidupe_ray.pipelines.dedup import run_dedup
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture()
+def ckpt_dir(tmp_path):
+    d = str(tmp_path / "ckpt")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _clusters(res):
+    return (res.clusters.to_pandas()[["doc_id", "cluster_id"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_resume_skips_fingerprint_and_is_identical(ray_session, ckpt_dir):
+    import ray.data as rd
+    corpus, _ = generate_corpus(300, seed=17)
+    r1 = run_dedup(rd.from_arrow(corpus), CFG, checkpoint_dir=ckpt_dir)
+    c1 = _clusters(r1)
+    assert r1.metrics["signatures_resumed"] is False
+    r2 = run_dedup(rd.from_arrow(corpus), CFG, checkpoint_dir=ckpt_dir)
+    c2 = _clusters(r2)
+    assert r2.metrics["signatures_resumed"] is True
+    pd.testing.assert_frame_equal(c1, c2)
+
+
+def test_input_change_invalidates(ray_session, ckpt_dir):
+    import ray.data as rd
+    corpus, _ = generate_corpus(300, seed=17)
+    run_dedup(rd.from_arrow(corpus), CFG, checkpoint_dir=ckpt_dir)
+    corpus2, _ = generate_corpus(350, seed=17)
+    r = run_dedup(rd.from_arrow(corpus2), CFG, checkpoint_dir=ckpt_dir)
+    assert r.metrics["signatures_resumed"] is False
+
+
+def test_signature_config_change_invalidates(ray_session, ckpt_dir):
+    import ray.data as rd
+    corpus, _ = generate_corpus(300, seed=17)
+    run_dedup(rd.from_arrow(corpus), CFG, checkpoint_dir=ckpt_dir)
+    r = run_dedup(rd.from_arrow(corpus),
+                  PipelineConfig(shingle_k=5), checkpoint_dir=ckpt_dir)
+    assert r.metrics["signatures_resumed"] is False
+
+
+def test_threshold_change_keeps_checkpoint(ray_session, ckpt_dir):
+    """Thresholds are match-time-only (mainwindow.cpp:110-121): the
+    signature checkpoint must survive a threshold change."""
+    import ray.data as rd
+    corpus, _ = generate_corpus(300, seed=17)
+    run_dedup(rd.from_arrow(corpus), CFG, checkpoint_dir=ckpt_dir)
+    r = run_dedup(rd.from_arrow(corpus),
+                  PipelineConfig(threshold_pct=95), checkpoint_dir=ckpt_dir)
+    assert r.metrics["signatures_resumed"] is True

@@ -46,8 +46,8 @@ from ..state.joins import broadcast_lookup_map, apply_lookup
 
 @dataclass
 class DedupResult:
-    docs: "rd.Dataset"          # normalized rows incl. status (all docs)
-    winners: "rd.Dataset"       # exact-dedup winners w/ content_canon
+    docs: "rd.Dataset"          # normalized metadata incl. status (all docs)
+    winners: "rd.Dataset"       # exact-dedup winner rows (raw content + doc_id)
     signatures: "rd.Dataset"    # fingerprints of winners
     pairs: "rd.Dataset"         # verified duplicate pairs (near + contain)
     clusters: "rd.Dataset"      # doc_id, cluster_id, is_canonical, ...
@@ -69,23 +69,25 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
 
     # right-size the block count once, up front: every downstream shuffle's
     # task fan-out scales with it (parquet row-group splits often produce
-    # hundreds of tiny blocks)
+    # hundreds of tiny blocks).  The repartitioned RAW corpus is pinned
+    # once; content enters the object store exactly one time and every
+    # content consumer (normalize, winner filter -> fingerprint,
+    # containment fetch) streams from the same blocks.  The canonical text
+    # is never materialized anywhere — stages re-canonicalize on the fly
+    # (recompute beats shipping; SURVEY.md §7.4 wide-record rule).
     nblocks = cfg.target_blocks or max(
         8, 2 * int(ray.cluster_resources().get("CPU", 8)))
-    corpus_ds = corpus_ds.repartition(nblocks)
+    corpus = corpus_ds.repartition(nblocks).materialize()
 
-    docs = corpus_ds.map_batches(normalize_batch, batch_format="pyarrow")
-    docs = docs.materialize()   # consumed by 3 branches (winners, rejects,
-                                # containment content fetch); tiny at test
-                                # scale, and at cluster scale this is the
-                                # natural signatures+meta checkpoint point
+    # metadata-only normalize: hashes + counters + status, ~100 B/row
+    docs = corpus.map_batches(normalize_batch,
+                              batch_format="pyarrow").materialize()
     metrics["n_input"] = docs.count()
 
     rejects = docs.filter(expr="status != 'ok'")
 
     membership = ed.exact_dedup(docs, cfg).materialize()
-    winners, n_winners = ed.winner_filter(docs, membership, cfg)
-    winners = winners.materialize()
+    winners, n_winners = ed.winner_filter(corpus, membership, cfg)
     exact_edge_ds = ed.exact_edges(membership)
     metrics["n_winners"] = n_winners
     metrics["t_normalize_dedup"] = time.perf_counter() - t0

@@ -53,15 +53,17 @@ def exact_dedup(normalized_ds, cfg: PipelineConfig):
                          batch_format="pandas")
 
 
-def winner_filter(normalized_ds, membership_ds, cfg: PipelineConfig):
-    """Filter the full normalized dataset down to group winners.
+def winner_filter(corpus_ds, membership_ds, cfg: PipelineConfig):
+    """Filter the RAW corpus down to exact-dedup group winners.
 
-    Broadcast path: winner ids -> sorted numpy array in the object store,
-    read once per task, ``np.isin`` per batch (a semi-join without a
-    shuffle). Falls back is documented in the module docstring; at
-    ``len(winners) > broadcast_cap`` we raise — the bucketed join path is
-    wired in ``state/joins.py`` (used by callers at larger scale).
+    Operates on the source rows directly (content never round-trips
+    through a normalized materialization): the winner-id set — which only
+    contains OK docs by construction — is broadcast once (``ray.put``) and
+    each batch semi-joins with a sorted-array probe.  Above
+    ``broadcast_cap`` ids the bucketed shuffle join takes over
+    (state/joins.py).
     """
+    from .normalize import batch_doc_ids
     winners_tbl = (membership_ds
                    .map_batches(lambda df: df[df.doc_id == df.winner_id]
                                 [["doc_id"]],
@@ -71,10 +73,18 @@ def winner_filter(normalized_ds, membership_ds, cfg: PipelineConfig):
          for b in winners_tbl.iter_batches(batch_size=1 << 20,
                                            batch_format="pandas")]
         or [np.empty(0, dtype=np.int64)]))
+
+    def _with_ids(batch: pa.Table) -> pa.Table:
+        if "doc_id" in batch.column_names:
+            return batch
+        return batch.append_column(
+            "doc_id", pa.array(batch_doc_ids(batch), pa.int64()))
+
+    with_ids = corpus_ds.map_batches(_with_ids, batch_format="pyarrow")
     if len(winner_ids) > cfg.broadcast_cap:
         from ..state.joins import bucketed_semi_join
-        return bucketed_semi_join(normalized_ds, winner_ids, "doc_id",
-                                  cfg.join_buckets), len(winner_ids)
+        return (bucketed_semi_join(with_ids, winner_ids, "doc_id",
+                                   cfg.join_buckets), len(winner_ids))
 
     ref = ray.put(winner_ids)
 
@@ -82,14 +92,12 @@ def winner_filter(normalized_ds, membership_ds, cfg: PipelineConfig):
         ids = ray.get(ref)
         if len(ids) == 0:
             return batch.slice(0, 0)
-        d = batch.column("doc_id").to_numpy()
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
         pos = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
         return batch.filter(pa.array(ids[pos] == d))
 
-    ok = normalized_ds.map_batches(
-        lambda t: t.filter(pa.compute.equal(t.column("status"), "ok")),
-        batch_format="pyarrow")
-    return ok.map_batches(_filter, batch_format="pyarrow"), len(winner_ids)
+    return with_ids.map_batches(_filter,
+                                batch_format="pyarrow"), len(winner_ids)
 
 
 def exact_edges(membership_ds):

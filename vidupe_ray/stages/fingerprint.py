@@ -27,7 +27,7 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 from ..functions import hashing as H
-from ..functions.text import tokenize
+from ..functions.text import canonicalize, tokenize
 
 
 class FingerprintActor:
@@ -38,7 +38,21 @@ class FingerprintActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        texts = batch.column("content_canon").to_pylist()
+        if "content_canon" in batch.column_names:
+            texts = batch.column("content_canon").to_pylist()
+            n_bytes = batch.column("n_bytes").to_numpy(zero_copy_only=False)
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        else:
+            # raw corpus rows: canonicalize here (recompute beats shipping
+            # canonical text through the object store at corpus scale)
+            from .normalize import batch_doc_ids
+            raw = batch.column("content").to_pylist()
+            texts = [canonicalize(t if t is not None else "") for t in raw]
+            n_bytes = np.fromiter(
+                (len(t.encode("utf-8", "surrogatepass"))
+                 if t is not None else 0 for t in raw),
+                dtype=np.int64, count=len(raw))
+            doc_ids = batch_doc_ids(batch)
         token_lists = [tokenize(t) for t in texts]
         th, off = H.hash_token_lists(token_lists)
         sh, sh_off = H.shingles_from_tokens(th, off, cfg.shingle_k, cfg.seed)
@@ -67,9 +81,11 @@ class FingerprintActor:
         n = len(texts)
         P = cfg.num_perms
         out = pa.table({
-            "doc_id": batch.column("doc_id"),
+            "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64),
+                               pa.int64()),
             "lang": batch.column("lang"),
-            "n_bytes": batch.column("n_bytes"),
+            "n_bytes": pa.array(np.asarray(n_bytes, dtype=np.int64),
+                                pa.int64()),
             "n_tokens": pa.array(n_tokens, pa.int64()),
             "n_shingles": pa.array(n_shingles, pa.int64()),
             "simhash": pa.array(simhash, pa.uint64()),

@@ -9,12 +9,19 @@ consumes.  Rows are never dropped here — invalid rows are *tagged*
 
 Input  schema: repo, path, commit, lang, content [, doc_id]
 Output schema: repo, path, commit, lang, doc_id, sha256, sha256_canon,
-               n_bytes, n_lines, content_canon, status
+               n_bytes, n_lines, status [, content_canon]
 
 ``sha256`` (of the RAW content) is the per-row invariant required by
 ``BASELINE.json::input_hint``; ``sha256_canon`` (of the canonical form) is
 the exact-dedup key — the cache-key idea of ``db.cpp:22-30`` (identity that
 survives presentation changes) taken one step further.
+
+By default the canonical TEXT is not emitted — only its hash.  The
+metadata table is then tiny (pins cheaply for its three consumers) and the
+wide content never enters the object store: downstream stages re-read
+content from the source and re-canonicalize on the fly (recompute beats
+shipping at corpus scale).  Pass ``emit_canonical=True`` to keep the
+column when the caller needs it directly.
 """
 
 from __future__ import annotations
@@ -31,21 +38,28 @@ STATUS_OK = "ok"
 STATUS_EMPTY = "empty"          # F2 analogue: width==0 -> reject (video.cpp:31-35)
 
 
-def normalize_batch(batch: pa.Table, cfg: PipelineConfig | None = None) -> pa.Table:
+def batch_doc_ids(batch: pa.Table) -> np.ndarray:
+    """Stable per-row doc ids: the existing ``doc_id`` column when present
+    (adapter inputs), else the identity-key hash."""
+    n = batch.num_rows
+    if "doc_id" in batch.column_names:
+        return batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+    repo = batch.column("repo").to_pylist()
+    path = batch.column("path").to_pylist()
+    commit = batch.column("commit").to_pylist()
+    return np.fromiter(
+        (doc_id_for(r, p, c) for r, p, c in zip(repo, path, commit)),
+        dtype=np.int64, count=n)
+
+
+def normalize_batch(batch: pa.Table, cfg: PipelineConfig | None = None,
+                    emit_canonical: bool = False) -> pa.Table:
     """Vectorized-per-batch normalize; the only per-row Python is hashlib
     (C-speed) and the canonicalize regex (C-speed)."""
     content = batch.column("content").to_pylist()
     n = len(content)
-
-    if "doc_id" in batch.column_names:
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    else:
-        repo = batch.column("repo").to_pylist()
-        path = batch.column("path").to_pylist()
-        commit = batch.column("commit").to_pylist()
-        doc_ids = np.fromiter(
-            (doc_id_for(r, p, c) for r, p, c in zip(repo, path, commit)),
-            dtype=np.int64, count=n)
+    doc_ids = batch_doc_ids(batch)
 
     sha_raw = np.empty(n, dtype=object)
     sha_canon = np.empty(n, dtype=object)
@@ -64,7 +78,7 @@ def normalize_batch(batch: pa.Table, cfg: PipelineConfig | None = None) -> pa.Ta
         n_lines[i] = c.count("\n") + 1 if c else 0
         status[i] = STATUS_OK if c else STATUS_EMPTY
 
-    out = pa.table({
+    cols = {
         "repo": batch.column("repo") if "repo" in batch.column_names
                 else pa.array([""] * n, pa.string()),
         "path": batch.column("path") if "path" in batch.column_names
@@ -78,10 +92,11 @@ def normalize_batch(batch: pa.Table, cfg: PipelineConfig | None = None) -> pa.Ta
         "sha256_canon": pa.array(sha_canon, pa.string()),
         "n_bytes": pa.array(n_bytes, pa.int64()),
         "n_lines": pa.array(n_lines, pa.int64()),
-        "content_canon": pa.array(canon, pa.string()),
         "status": pa.array(status, pa.string()),
-    })
-    return out
+    }
+    if emit_canonical:
+        cols["content_canon"] = pa.array(canon, pa.string())
+    return pa.table(cols)
 
 
 def apply_lang_filter(batch: pa.Table, allowlist: tuple) -> pa.Table:

@@ -35,11 +35,14 @@ def collect_ids(pairs_ds, cols=("a", "b")) -> np.ndarray:
     return np.unique(np.concatenate(ids))
 
 
-def confirm_containment(cand_pairs_ds, docs_ds, cfg: PipelineConfig):
-    """contain_cand pairs + normalized docs -> confirmed 'contain' pairs.
+def confirm_containment(cand_pairs_ds, winners_ds, cfg: PipelineConfig):
+    """contain_cand pairs + winner rows -> confirmed 'contain' pairs.
 
-    ``docs_ds`` must carry doc_id + content_canon (the winners dataset).
+    ``winners_ds`` carries raw ``content`` (plus doc_id); candidates are
+    few, so their content is fetched by broadcast semi-join and
+    canonicalized on the fly (same canonical form the fingerprints used).
     """
+    from ..functions.text import canonicalize
     ids = collect_ids(cand_pairs_ds)
     if len(ids) == 0:
         from .lsh import _empty_pairs
@@ -55,12 +58,15 @@ def confirm_containment(cand_pairs_ds, docs_ds, cfg: PipelineConfig):
 
     def _grab(batch: pa.Table) -> pa.Table:
         want = ray.get(ref_ids)
-        d = batch.column("doc_id").to_numpy()
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
         pos = np.minimum(np.searchsorted(want, d), len(want) - 1)
-        return batch.select(["doc_id", "content_canon"]).filter(
-            pa.array(want[pos] == d))
+        sel = batch.filter(pa.array(want[pos] == d))
+        texts = [canonicalize(t if t is not None else "")
+                 for t in sel.column("content").to_pylist()]
+        return pa.table({"doc_id": sel.column("doc_id"),
+                         "content_canon": pa.array(texts, pa.string())})
 
-    subset = docs_ds.map_batches(_grab, batch_format="pyarrow")
+    subset = winners_ds.map_batches(_grab, batch_format="pyarrow")
     content = {}
     for b in subset.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
         for did, text in zip(b.column("doc_id").to_pylist(),
