@@ -166,6 +166,21 @@ def q_media_features(sf_dir: str):
         ["doc_id", "media_type", "n_bytes", "status"])
 
 
+def q_tumbling_window(sf_dir: str):
+    from vidupe_ray.pipelines.events import tumbling_window_stats
+    return tumbling_window_stats(sf_dir)
+
+
+def q_sessionize(sf_dir: str):
+    from vidupe_ray.pipelines.events import sessionize
+    return sessionize(sf_dir)
+
+
+def q_heavy_hitters(sf_dir: str):
+    from vidupe_ray.pipelines.events import heavy_hitters
+    return heavy_hitters(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": q_normalize_docs,
@@ -185,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signatures": q_signatures,
         "doc_fingerprints": q_doc_fingerprints,
         "media_features": q_media_features,
+        "tumbling_window": q_tumbling_window,
+        "sessionize": q_sessionize,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -333,8 +351,40 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN text = '' THEN 'empty' ELSE 'ok' END AS status
         FROM documents"""
 
+    tumbling_window = """
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win,
+               count(*) AS n_events,
+               CAST(round(sum(value) * 100) AS BIGINT) AS value_x100
+        FROM events GROUP BY 1, 2"""
+
+    sessionize = """
+        WITH e AS (SELECT user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                   FROM events),
+        s AS (SELECT user_id, ep,
+                CASE WHEN lag(ep) OVER w IS NULL
+                     OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END
+                    AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep)),
+        t AS (SELECT user_id, ep,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS sess
+              FROM s)
+        SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+               count(*) AS n_events,
+               CAST(max(ep) - min(ep) AS BIGINT) AS duration_s
+        FROM t GROUP BY user_id, sess"""
+
+    heavy_hitters = """
+        SELECT user_id, count(*) AS n FROM events
+        GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"""
+
     return {
         "media_features": media_features,
+        "tumbling_window": tumbling_window,
+        "sessionize": sessionize,
+        "heavy_hitters": heavy_hitters,
         "normalize_docs": normalize_docs,
         "doc_stats": doc_stats,
         "exact_dedup": exact_dedup,

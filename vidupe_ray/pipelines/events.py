@@ -1,0 +1,111 @@
+"""Stream-shaped operators over the ``events`` table
+(event_id, ts, user_id, event_type, value, props).
+
+The reference has no streaming concepts (SURVEY.md §2.10) — these are the
+training-data-pipeline extras: the input is treated as an ordered,
+partitioned log (ray_guide.md streaming section): partition by key, sort
+by ts within partition, window with pandas inside the group.  Oracle SQL
+expresses the same windows with ``GROUP BY floor(epoch/size)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+_EVENTS = "{sf}/events.parquet"
+_WINDOW_S = 3600
+
+
+def read_events(sf_dir: str, columns=None):
+    return rd.read_parquet(_EVENTS.format(sf=sf_dir), columns=columns)
+
+
+def tumbling_window_stats(sf_dir: str, window_s: int = _WINDOW_S):
+    """Per (event_type, hour window): count and floor-scaled value sum.
+
+    Pre-aggregated per batch (partial/combiner) before the tiny groupby —
+    the shuffle carries one row per (type, window, batch).
+    """
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        # datetime64 unit varies by source (parquet loads as [us]);
+        # normalize to whole seconds explicitly
+        epoch = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        win = pd.Series(epoch // window_s, index=df.index)
+        g = pd.DataFrame({"event_type": df["event_type"], "win": win,
+                          "value": df["value"]})
+        agg = g.groupby(["event_type", "win"], as_index=False).agg(
+            n_events=("value", "size"), value_sum=("value", "sum"))
+        return agg
+
+    from ray.data.aggregate import Sum
+    partial = read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        _partial, batch_format="pandas")
+    out = partial.groupby(["event_type", "win"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_sum", alias_name="value_sum_raw"))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # ROUND-scaled int for float-hash parity with the SQL oracle:
+        # the inputs have 2 decimals, so sum*100 always lands within 1e-9
+        # of an integer — floor would coin-flip on summation order, round
+        # is stable on both sides
+        df["value_x100"] = np.rint(
+            df["value_sum_raw"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        df["n_events"] = df["n_events"].astype("int64")
+        return df[["event_type", "win", "n_events", "value_x100"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
+def sessionize(sf_dir: str, gap_s: int = 1800):
+    """Session windows per user: a new session starts after a > gap_s
+    silence.  Partition by user_id (bucketed), sort by ts inside the
+    bucket, vectorized gap detection — the ordered-log pattern.
+
+    Output: user_id, session_idx (0-based per user), n_events,
+    duration_s (floor int).
+    """
+    from ..state import bucketing as B
+
+    def _sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        epoch = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[0], epoch[1:] - epoch[:-1]])
+        new_sess = new_user | (gap > gap_s)
+        sess_id = np.cumsum(new_sess) - 1
+        g = pd.DataFrame({"user_id": uid, "sess": sess_id, "epoch": epoch})
+        agg = g.groupby(["user_id", "sess"], as_index=False).agg(
+            n_events=("epoch", "size"), start=("epoch", "min"),
+            end=("epoch", "max"))
+        agg = agg.sort_values(["user_id", "start"], kind="stable")
+        agg["session_idx"] = agg.groupby("user_id").cumcount()
+        agg["duration_s"] = (agg["end"] - agg["start"]).astype("int64")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg[["user_id", "session_idx", "n_events", "duration_s"]]
+
+    ev = read_events(sf_dir, ["ts", "user_id"])
+    return B.grouped_map(ev, "user_id", B.bucket_of_ints, _sessions,
+                         batch_format="pandas")
+
+
+def heavy_hitters(sf_dir: str, k: int = 10):
+    """Top-k users by event count — partial counts per batch, tiny
+    groupby, global top-k (deterministic tie-break by user_id)."""
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            n=("user_id", "size"))
+
+    from ray.data.aggregate import Sum
+    counts = (read_events(sf_dir, ["user_id"])
+              .map_batches(_partial, batch_format="pandas")
+              .groupby("user_id").aggregate(Sum("n", alias_name="n")))
+    top = counts.to_pandas().sort_values(
+        ["n", "user_id"], ascending=[False, True]).head(k)
+    top["n"] = top["n"].astype("int64")
+    return top.reset_index(drop=True)
