@@ -193,6 +193,9 @@ class BucketVerifier:
                 r["hamming"][keep], r["best_sim"][keep],
                 r["modifier"][keep], kind, gsz[keep]))
         # ---- anchor channel: containment candidates ---------------------
+        # hot-anchor skip: see cfg.hot_anchor_cap
+        sizes = anch_off[:, 1] - anch_off[:, 0]
+        anch_off = anch_off[sizes <= cfg.hot_anchor_cap]
         i_idx, j_idx, _ = B.segment_pairs(anch_off, cfg.band_group_cap)
         if len(i_idx):
             gsz = _pair_group_sizes(anch_off, i_idx)
