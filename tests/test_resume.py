@@ -65,3 +65,28 @@ def test_threshold_change_keeps_checkpoint(ray_session, ckpt_dir):
     r = run_dedup(rd.from_arrow(corpus),
                   PipelineConfig(threshold_pct=95), checkpoint_dir=ckpt_dir)
     assert r.metrics["signatures_resumed"] is True
+
+
+def test_rematch_fast_path(ray_session, ckpt_dir):
+    """Threshold recalibration (mainwindow.cpp:110-121): rematch() must
+    reuse signatures; raising the threshold never grows clusters."""
+    import ray.data as rd
+    from vidupe_ray.pipelines.dedup import rematch
+    corpus, _ = generate_corpus(300, seed=17)
+    run_dedup(rd.from_arrow(corpus), CFG, checkpoint_dir=ckpt_dir)
+    r95 = rematch(rd.from_arrow(corpus), PipelineConfig(threshold_pct=95),
+                  checkpoint_dir=ckpt_dir)
+    assert r95.metrics["signatures_resumed"] is True
+    r80 = rematch(rd.from_arrow(corpus), PipelineConfig(threshold_pct=80),
+                  checkpoint_dir=ckpt_dir)
+    # monotone: stricter threshold -> fewer or equal verified pairs
+    assert r95.pairs.count() <= r80.pairs.count()
+
+
+def test_rematch_without_checkpoint_raises(ray_session, tmp_path):
+    import ray.data as rd
+    from vidupe_ray.pipelines.dedup import rematch
+    corpus, _ = generate_corpus(100, seed=3)
+    with pytest.raises(ValueError, match="no usable signature checkpoint"):
+        rematch(rd.from_arrow(corpus), CFG,
+                checkpoint_dir=str(tmp_path / "nothing"))

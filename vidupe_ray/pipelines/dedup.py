@@ -147,6 +147,27 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
                        metrics=metrics)
 
 
+def rematch(corpus_ds, cfg: PipelineConfig, checkpoint_dir: str) -> DedupResult:
+    """Threshold-recalibration fast path (reference entry point 3,
+    ``mainwindow.cpp:110-121`` / SURVEY.md §3.3): fingerprints are
+    threshold-independent, so a threshold/mode change skips the
+    fingerprint stage entirely (signatures come from the checkpoint) and
+    only match-time work reruns — the ">10x faster once cached" property
+    (readme.md:35).  The cheap metadata pass still runs (it feeds exact
+    edges and the cluster join).
+
+    Requires a prior ``run_dedup(..., checkpoint_dir=...)`` with the same
+    signature config; raises if the checkpoint is missing.
+    """
+    from ..state.checkpoint import try_read_signatures
+    res = run_dedup(corpus_ds, cfg, checkpoint_dir=checkpoint_dir)
+    if not res.metrics.get("signatures_resumed"):
+        raise ValueError(
+            "rematch() found no usable signature checkpoint under "
+            f"{checkpoint_dir!r} — run run_dedup(checkpoint_dir=...) first")
+    return res
+
+
 def assign_clusters(docs_ds, parents_ds, cfg: PipelineConfig):
     """All OK docs -> (doc_id, cluster_id, n_bytes, cluster_size,
     is_canonical).
