@@ -1,0 +1,79 @@
+"""Exercise the scale-path fallbacks and input edge cases:
+- bucketed semi-join (the above-broadcast-cap path) must match broadcast
+- unicode / null / degenerate content must flow through the pipeline
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from vidupe_ray.config import PipelineConfig
+from vidupe_ray.pipelines.dedup import run_dedup
+
+
+def test_bucketed_semi_join_matches_broadcast(ray_session):
+    import ray.data as rd
+    from vidupe_ray.state.joins import bucketed_semi_join
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({"doc_id": rng.permutation(10_000).astype("int64"),
+                       "v": np.arange(10_000)})
+    ds = rd.from_pandas(df).repartition(8)
+    keys = rng.choice(10_000, size=800, replace=False).astype(np.int64)
+    got = bucketed_semi_join(ds, keys, "doc_id", buckets=16).to_pandas()
+    want = df[df.doc_id.isin(keys)]
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_pipeline_with_tiny_broadcast_cap_uses_bucketed_path(ray_session):
+    """Force the winner filter down the bucketed-join path (the 10^12-scale
+    route) and require identical clusters."""
+    import ray.data as rd
+    from vidupe_ray.corpus import generate_corpus
+    corpus, _ = generate_corpus(300, seed=23)
+    # broadcast_cap below the winner count (~260) -> bucketed path;
+    # containment off so its (smaller) broadcasts don't hit the tiny cap
+    cfg2 = PipelineConfig(broadcast_cap=270, containment=False,
+                          cc_small_graph_threshold=10**9)
+    res2 = run_dedup(rd.from_arrow(corpus), cfg2)
+    cfg3 = PipelineConfig(broadcast_cap=100_000, containment=False,
+                          cc_small_graph_threshold=10**9)
+    res3 = run_dedup(rd.from_arrow(corpus), cfg3)
+    c2 = (res2.clusters.to_pandas()[["doc_id", "cluster_id"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    c3 = (res3.clusters.to_pandas()[["doc_id", "cluster_id"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(c2, c3)
+
+
+def test_unicode_and_degenerate_content(ray_session):
+    import ray.data as rd
+    rows = [
+        ("r/a", "u1.py", "emoji 🎉🎊 content ✨ " * 50),
+        ("r/a", "u2.py", "emoji 🎉🎊 content ✨ " * 50),          # dup of u1
+        ("r/b", "cjk.py", "中文注释 变量 = 函数(参数) " * 80),
+        ("r/b", "mixed.py", "def fn(): # ümlaut éàç\n    return 'ß'\n" * 40),
+        ("r/c", "oneline.py", "x = 1; " * 20_000),               # 140KB one line
+        ("r/c", "null.py", None),                                 # null content
+        ("r/c", "empty.py", ""),
+        ("r/c", "ws.py", "   \n\t\n   "),                         # whitespace only
+    ]
+    t = pa.table({
+        "repo": pa.array([r[0] for r in rows]),
+        "path": pa.array([r[1] for r in rows]),
+        "commit": pa.array(["a" * 40] * len(rows)),
+        "lang": pa.array(["py"] * len(rows)),
+        "content": pa.array([r[2] for r in rows], pa.string()),
+    })
+    res = run_dedup(rd.from_arrow(t), PipelineConfig())
+    cl = res.clusters.to_pandas()
+    rejects = res.rejects.to_pandas()
+    # null/empty/whitespace-only rejected; others clustered
+    assert len(rejects) == 3
+    assert len(cl) == 5
+    # the emoji dup pair clusters together
+    from vidupe_ray.functions.text import doc_id_for
+    i1 = doc_id_for("r/a", "u1.py", "a" * 40)
+    i2 = doc_id_for("r/a", "u2.py", "a" * 40)
+    c = cl.set_index("doc_id")["cluster_id"]
+    assert c.loc[i1] == c.loc[i2]

@@ -142,6 +142,17 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     metrics["t_cluster"] = time.perf_counter() - t3
     metrics["t_total"] = time.perf_counter() - t0
 
+    if checkpoint_dir:
+        from ..state.checkpoint import write_lineage
+        for stage in ("normalize_dedup", "fingerprint",
+                      "candidates_verify", "cluster"):
+            write_lineage(checkpoint_dir, stage, {
+                "wall_sec": round(metrics.get(f"t_{stage}", 0.0), 3),
+                "config_hash": cfg.signature_config_hash})
+        write_lineage(checkpoint_dir, "summary", {
+            k: v for k, v in metrics.items()
+            if isinstance(v, (int, float, bool))})
+
     return DedupResult(docs=docs, winners=winners, signatures=signatures,
                        pairs=pairs, clusters=clusters, rejects=rejects,
                        metrics=metrics)
