@@ -176,3 +176,14 @@ def test_simhash_doc_slots_matches_segment_impl():
     np.testing.assert_array_equal(full, ref_full)
     np.testing.assert_array_equal(head, ref_head)
     np.testing.assert_array_equal(tail, ref_tail)
+
+
+def test_tokens_are_canonicalization_invariant():
+    """The fingerprint stage tokenizes RAW text: \\w+ tokens must be
+    identical on raw and canonical forms (whitespace-only transforms)."""
+    from vidupe_ray.corpus import generate_corpus
+    c, _ = generate_corpus(300, seed=2)
+    for t in c["content"].to_pylist():
+        assert tokenize(t) == tokenize(canonicalize(t))
+    for t in ["a\r\nb", "  x\t\ty  ", "é ümlaut ß", "中文 变量", "a🎉b"]:
+        assert tokenize(t) == tokenize(canonicalize(t))

@@ -36,6 +36,9 @@ from dataclasses import asdict, dataclass, field
 class PipelineConfig:
     # --- shingling / signatures ------------------------------------------
     shingle_k: int = 7            # tokens per shingle
+    tokenizer: str = "bytes"      # "bytes" (vectorized byte-level \w runs,
+                                  # no Python strings in the hot path) |
+                                  # "regex" (\w+ via re, reference python path)
     num_perms: int = 128          # MinHash signature width (bins for oph)
     minhash_scheme: str = "oph"   # "oph" (one-permutation + densification,
                                   # one pass over shingles) | "kperm"
@@ -122,6 +125,7 @@ class PipelineConfig:
         """
         sig_fields = {
             "shingle_k": self.shingle_k,
+            "tokenizer": self.tokenizer,
             "num_perms": self.num_perms,
             "minhash_scheme": self.minhash_scheme,
             "head_tail_window": self.head_tail_window,

@@ -79,6 +79,101 @@ def hash_token_lists(token_lists: list) -> tuple:
     return hash_array(flat, categorize=False).astype(U64), offsets
 
 
+# --- byte-level tokenizer+hasher (no Python strings in the hot path) -----
+# word bytes: [0-9A-Za-z_] plus every byte >= 0x80 (UTF-8 lead/continuation
+# bytes), so ASCII tokenization matches the \w+ regex exactly and non-ASCII
+# runs form single tokens (same as \w+ for contiguous CJK/accented text;
+# differs only for non-ASCII punctuation adjacent to words — an accepted,
+# internally-consistent semantic, shared with the oracle).
+_WORD_LUT = np.zeros(256, dtype=bool)
+for _c in range(256):
+    _WORD_LUT[_c] = (
+        0x30 <= _c <= 0x39 or 0x41 <= _c <= 0x5A or 0x61 <= _c <= 0x7A
+        or _c == 0x5F or _c >= 0x80)
+
+_POLY_P = U64(0x9E3779B97F4A7C15 | 1)   # odd => invertible mod 2^64
+
+
+def _mod_inverse_u64(a: np.uint64) -> np.uint64:
+    """Inverse of an odd a mod 2^64 (Newton iteration)."""
+    x = int(a)
+    m = (1 << 64) - 1
+    for _ in range(6):
+        x = (x * (2 - int(a) * x)) & m
+    return U64(x)
+
+
+_POLY_PINV = _mod_inverse_u64(_POLY_P)
+
+
+def byte_tokenize_hash(arr, seed: int) -> tuple:
+    """Tokenize+hash an Arrow string array fully vectorized at byte level.
+
+    Returns ``(token_hashes: uint64[N], tok_offsets: int64[D+1])`` —
+    drop-in for ``hash_token_lists(tokenize(...))`` without creating a
+    single Python string.  Token hash = mixed polynomial of the token's
+    bytes (prefix-sum trick: H(s,e) = (S[e]-S[s]) * P^(e-1) in Z/2^64,
+    where S is the cumulative sum of byte[j]*Pinv^j — three C-speed passes
+    over the byte buffer).
+
+    Tokens never cross document boundaries (explicit mask breaks at the
+    string offsets).  Nulls count as empty documents.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    ndocs = len(arr)
+    off_dtype = (np.int64 if pa.types.is_large_string(arr.type)
+                 else np.int32)
+    off_buf = arr.buffers()[1]
+    offs_full = np.frombuffer(off_buf, dtype=off_dtype)
+    offs = offs_full[arr.offset:arr.offset + ndocs + 1].astype(np.int64)
+    buf = arr.buffers()[2]
+    if buf is None or offs[-1] == offs[0]:
+        return (np.empty(0, dtype=U64),
+                np.zeros(ndocs + 1, dtype=np.int64))
+    data = np.frombuffer(buf, dtype=np.uint8)
+    lo = offs[0]
+    b = data[lo:offs[-1]]
+    doc_off = offs - lo
+    n = len(b)
+
+    m = _WORD_LUT[b]
+    prev = np.empty_like(m)
+    prev[0] = False
+    prev[1:] = m[:-1]
+    nxt = np.empty_like(m)
+    nxt[-1] = False
+    nxt[:-1] = m[1:]
+    inner = doc_off[1:-1]
+    inner = inner[(inner > 0) & (inner < n)]
+    prev[inner] = False          # a doc start never continues a token
+    nxt[inner - 1] = False       # a doc end always terminates one
+    starts = np.flatnonzero(m & ~prev)
+    ends = np.flatnonzero(m & ~nxt) + 1
+
+    # prefix-power tables (uint64 wraparound)
+    base = np.full(n, _POLY_P, dtype=U64)
+    base[0] = U64(1)
+    ppow = np.multiply.accumulate(base)
+    base[:] = _POLY_PINV
+    base[0] = U64(1)
+    pinv = np.multiply.accumulate(base)
+    s = np.empty(n + 1, dtype=U64)
+    s[0] = U64(0)
+    np.cumsum(b.astype(U64) * pinv, out=s[1:])
+    h = (s[ends] - s[starts]) * ppow[ends - 1]
+    # fold in token length (cheap collision guard) and the seed, then mix
+    h = mix64(h ^ ((ends - starts).astype(U64) * _GOLDEN) ^ U64(seed))
+
+    tok_doc = np.searchsorted(doc_off[1:], starts, side="right")
+    counts = np.bincount(tok_doc, minlength=ndocs)
+    tok_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return h, tok_offsets
+
+
 def _window_coeffs(k: int, seed: int) -> np.ndarray:
     """k odd multipliers for the polynomial shingle combine."""
     rng = np.random.RandomState(seed ^ 0x5EED)

@@ -31,8 +31,11 @@ def compute_signatures(corpus: pa.Table, cfg: PipelineConfig) -> dict:
     """Driver-side fingerprints via the shared kernels (one big batch)."""
     texts = corpus.column("content").to_pylist()
     canon = [canonicalize(t if t is not None else "") for t in texts]
-    token_lists = [tokenize(c) for c in canon]
-    th, off = H.hash_token_lists(token_lists)
+    if cfg.tokenizer == "bytes":
+        th, off = H.byte_tokenize_hash(corpus.column("content"), cfg.seed)
+    else:
+        token_lists = [tokenize(c) for c in canon]
+        th, off = H.hash_token_lists(token_lists)
     sh, sh_off = H.shingles_from_tokens(th, off, cfg.shingle_k, cfg.seed)
     minhash = H.minhash_signatures_cfg(sh, sh_off, cfg)
     _, head, tail = H.simhash_doc_slots(sh, sh_off, cfg.head_tail_window)

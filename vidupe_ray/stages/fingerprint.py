@@ -38,23 +38,36 @@ class FingerprintActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        if "content_canon" in batch.column_names:
-            texts = batch.column("content_canon").to_pylist()
-            n_bytes = batch.column("n_bytes").to_numpy(zero_copy_only=False)
+        # NO canonicalization needed for tokens: \w+ tokens are
+        # whitespace/line-ending invariant, so raw and canonical text
+        # tokenize identically (property-tested); the canonical form is
+        # only ever needed for hashing (normalize) and the substring
+        # confirm.
+        content_col = ("content_canon"
+                       if "content_canon" in batch.column_names
+                       else "content")
+        if "doc_id" in batch.column_names and content_col == "content_canon":
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            n_bytes = batch.column("n_bytes").to_numpy(zero_copy_only=False)
         else:
-            # raw corpus rows: canonicalize here (recompute beats shipping
-            # canonical text through the object store at corpus scale)
             from .normalize import batch_doc_ids
-            raw = batch.column("content").to_pylist()
-            texts = [canonicalize(t if t is not None else "") for t in raw]
-            n_bytes = np.fromiter(
-                (len(t.encode("utf-8", "surrogatepass"))
-                 if t is not None else 0 for t in raw),
-                dtype=np.int64, count=len(raw))
             doc_ids = batch_doc_ids(batch)
-        token_lists = [tokenize(t) for t in texts]
-        th, off = H.hash_token_lists(token_lists)
+            arr = batch.column(content_col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            import pyarrow.compute as pc
+            n_bytes = pc.binary_length(
+                pc.fill_null(arr, "").cast(pa.binary())
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        if cfg.tokenizer == "bytes":
+            th, off = H.byte_tokenize_hash(batch.column(content_col),
+                                           cfg.seed)
+        else:
+            raw = batch.column(content_col).to_pylist()
+            token_lists = [tokenize(t if t is not None else "")
+                           for t in raw]
+            th, off = H.hash_token_lists(token_lists)
         sh, sh_off = H.shingles_from_tokens(th, off, cfg.shingle_k, cfg.seed)
 
         n_tokens = np.diff(off).astype(np.int64)
@@ -78,7 +91,7 @@ class FingerprintActor:
             a_values = a_values[keep]
             a_offsets = np.concatenate([[0], np.cumsum(a_counts)])
 
-        n = len(texts)
+        n = batch.num_rows
         P = cfg.num_perms
         out = pa.table({
             "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64),
