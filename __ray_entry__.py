@@ -138,6 +138,11 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(sf_dir)
 
 
+def q_embedding_neardup_lsh(sf_dir: str):
+    from vidupe_ray.pipelines.ann import lsh_neardup_pairs
+    return lsh_neardup_pairs(sf_dir)
+
+
 def q_doc_fingerprints(sf_dir: str):
     from vidupe_ray.pipelines.textops import doc_fingerprints
     return doc_fingerprints(sf_dir)
@@ -195,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_pairs": q_dedup_pairs,
         "signatures": q_signatures,

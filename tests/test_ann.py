@@ -1,0 +1,58 @@
+"""ANN operator tests: exact vs LSH scale path, IVF recall."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_lsh_neardup_subset_of_exact(ray_session):
+    """LSH candidates verified exactly => pairs must be a subset of the
+    brute-force operator's pairs (precision 1.0); recall reported."""
+    from vidupe_ray.pipelines.ann import (embedding_neardup_pairs,
+                                          lsh_neardup_pairs)
+    exact = embedding_neardup_pairs(SF, threshold=0.45).to_pandas()
+    lsh = lsh_neardup_pairs(SF, threshold=0.45).to_pandas()
+    e = set(zip(exact["a"], exact["b"]))
+    l = (set(zip(lsh["a"], lsh["b"])) if "a" in lsh.columns else set())
+    assert l <= e, f"false positives: {l - e}"
+    if l:
+        me = exact.set_index(["a", "b"])["cos_x1000"]
+        ml = lsh.set_index(["a", "b"])["cos_x1000"]
+        for ab in l:
+            assert ml.loc[ab] == me.loc[ab]
+
+
+def test_lsh_neardup_finds_planted_duplicates(ray_session):
+    """Near-identical vectors (cos ~ 1) must be found with high
+    probability — the regime LSH is built for."""
+    import pandas as pd
+    import ray.data as rd
+    import ray
+    import vidupe_ray.pipelines.ann as A
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(200, 64))
+    dup = base + rng.normal(scale=0.01, size=(200, 64))   # cos ~ 0.9999
+    vecs = np.concatenate([base, dup])
+    df = pd.DataFrame({
+        "vec_id": np.arange(400, dtype=np.int64),
+        "embedding": [v.astype(np.float32) for v in vecs],
+        "label": np.zeros(400, dtype=np.int32)})
+    import pyarrow.parquet as pq, pyarrow as pa, tempfile, os
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "embeddings.parquet"))
+    pairs = A.lsh_neardup_pairs(d, threshold=0.99).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    want = {(i, i + 200) for i in range(200)}
+    recall = len(found & want) / len(want)
+    assert recall >= 0.5, f"planted-dup recall {recall}"
+
+
+def test_ivf_recall_vs_exact(ray_session):
+    from vidupe_ray.pipelines.ann import ann_topk, ivf_topk
+    exact = ann_topk(SF).to_pandas()
+    approx = ivf_topk(SF).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF top-k recall {recall}"

@@ -111,6 +111,93 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45):
         _pairs, batch_format="pandas", batch_size=4096)
 
 
+def lsh_neardup_pairs(sf_dir: str, threshold: float = 0.45,
+                      n_planes: int = 16, n_tables: int = 4,
+                      seed: int = 42):
+    """Embedding near-dup via random-hyperplane LSH — the shuffle-based
+    scale path for ``embedding_neardup_pairs`` (which broadcasts the full
+    matrix and cannot at 10^9 vectors).
+
+    Sign-of-projection sketches (Charikar 2002): ``n_tables`` independent
+    ``n_planes``-bit keys per vector; vectors sharing a key in any table
+    become candidates; candidates are verified exactly inside the bucket
+    (both sides' vectors ride the shuffle — 64 floats is the cheap column
+    here, unlike the text pipeline's 1 KiB signatures).
+
+    Probability a pair at angle θ shares one table's key is
+    (1-θ/π)^n_planes; with cos=0.45 (θ≈63°) and 16 planes per table, 4
+    tables give p ≈ 1-(1-0.0016)^4 — LOW on purpose for uniformly random
+    demo vectors; real near-dup embeddings (cos ≥ 0.95, θ ≤ 18°) are
+    caught with p ≈ 1-(1-0.19)^4 ≈ 0.57 per table-set and the bench corpus
+    threshold is set accordingly.  Compare against the exact operator on
+    small data to measure recall (see test).
+    """
+    import pandas as pd
+    from ..state import bucketing as B
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_planes, 64))
+    p_ref = ray.put(planes)
+
+    def _keys(df: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(p_ref)
+        m = _matrix(df)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = df["vec_id"].to_numpy(np.int64)
+        out = []
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for t in range(n_tables):
+            bits = (mn @ pl[t].T) > 0                    # (B, planes)
+            key = bits @ weights + (t << n_planes)
+            out.append(pd.DataFrame({
+                "key": key.astype("int64"), "vec_id": ids,
+                **{f"e{i}": m[:, i] for i in range(64)}}))
+        return pd.concat(out, ignore_index=True)
+
+    keyed = read_embeddings(sf_dir).map_batches(_keys,
+                                                batch_format="pandas")
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        from vidupe_ray.state.bucketing import segment_boundaries, \
+            segment_pairs
+        df = df.sort_values(["key", "vec_id"], kind="stable")
+        keys = df["key"].to_numpy(np.int64)
+        ids = df["vec_id"].to_numpy(np.int64)
+        vecs = df[[f"e{i}" for i in range(64)]].to_numpy(np.float64)
+        off = segment_boundaries(keys)
+        seg = np.stack([off[:-1], off[1:]], axis=1)
+        i, j, _ = segment_pairs(seg, cap=512)
+        if len(i) == 0:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cos_x1000": pd.Series(dtype="int64")})
+        dots = np.einsum("ij,ij->i", vecs[i], vecs[j])
+        sims = dots / (np.linalg.norm(vecs[i], axis=1)
+                       * np.linalg.norm(vecs[j], axis=1))
+        keep = sims >= threshold
+        a = np.minimum(ids[i[keep]], ids[j[keep]])
+        b = np.maximum(ids[i[keep]], ids[j[keep]])
+        return pd.DataFrame({
+            "a": a, "b": b,
+            "cos_x1000": np.floor(sims[keep] * 1000.0).astype(np.int64)})
+
+    pairs = B.grouped_map(keyed, "key", B.bucket_of_ints, _verify,
+                          num_buckets=32, batch_format="pandas")
+
+    def _dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])
+
+    def _pk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pk"] = (df["a"].to_numpy(np.int64) * 1_000_003
+                    + df["b"].to_numpy(np.int64))
+        return df
+
+    return B.grouped_map(pairs.map_batches(_pk, batch_format="pandas"),
+                         "pk", B.bucket_of_ints,
+                         lambda d: _dedupe(d).drop(columns="pk"),
+                         num_buckets=16, batch_format="pandas")
+
+
 def ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
              n_cells: int = 16, n_probe: int = 4, seed: int = 42):
     """IVF-style approximate top-k: a coarse k-means-ish quantizer (one
