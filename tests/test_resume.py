@@ -38,13 +38,24 @@ def test_resume_skips_fingerprint_and_is_identical(ray_session, ckpt_dir):
     pd.testing.assert_frame_equal(c1, c2)
 
 
-def test_input_change_invalidates(ray_session, ckpt_dir):
+def test_input_growth_recomputes_only_the_delta(ray_session, ckpt_dir):
+    """Per-document resume (the cache.db semantic, db.cpp:50-69): adding
+    docs to the corpus reuses every cached signature and fingerprints only
+    the new rows; output matches a fresh run exactly."""
+    import pyarrow as pa
     import ray.data as rd
     corpus, _ = generate_corpus(300, seed=17)
-    run_dedup(rd.from_arrow(corpus), CFG, checkpoint_dir=ckpt_dir)
-    corpus2, _ = generate_corpus(350, seed=17)
-    r = run_dedup(rd.from_arrow(corpus2), CFG, checkpoint_dir=ckpt_dir)
-    assert r.metrics["signatures_resumed"] is False
+    r1 = run_dedup(rd.from_arrow(corpus), CFG, checkpoint_dir=ckpt_dir)
+    n_winners_1 = r1.metrics["n_winners"]
+
+    extra, _ = generate_corpus(80, seed=99)
+    grown = pa.concat_tables([corpus, extra])
+    r2 = run_dedup(rd.from_arrow(grown), CFG, checkpoint_dir=ckpt_dir)
+    assert r2.metrics["signatures_resumed"] is True
+    assert r2.metrics["n_signatures_cached"] == n_winners_1
+
+    fresh = run_dedup(rd.from_arrow(grown), CFG)
+    pd.testing.assert_frame_equal(_clusters(r2), _clusters(fresh))
 
 
 def test_signature_config_change_invalidates(ray_session, ckpt_dir):

@@ -148,6 +148,13 @@ class PipelineConfig:
             )
         if self.mode not in ("simhash", "jaccard"):
             raise ValueError(f"unknown mode {self.mode!r}")
+        if self.minhash_scheme == "oph" and \
+                (self.num_perms & (self.num_perms - 1)) != 0:
+            raise ValueError(
+                "minhash_scheme='oph' needs power-of-two num_perms "
+                f"(got {self.num_perms})")
+        if self.tokenizer not in ("bytes", "regex"):
+            raise ValueError(f"unknown tokenizer {self.tokenizer!r}")
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -92,26 +92,21 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     metrics["n_winners"] = n_winners
     metrics["t_normalize_dedup"] = time.perf_counter() - t0
 
-    # --- fingerprint (+ checkpoint/resume) -------------------------------
+    # --- fingerprint (+ per-document incremental checkpoint/resume) ------
     t1 = time.perf_counter()
-    signatures = None
     if checkpoint_dir:
-        from ..state.checkpoint import try_read_signatures, write_signatures
-        signatures = try_read_signatures(checkpoint_dir, cfg, n_winners)
-        if signatures is not None:
-            metrics["signatures_resumed"] = True
-    if signatures is None:
-        signatures = fingerprint_dataset(winners, cfg)
-        if checkpoint_dir:
-            from ..state.checkpoint import write_signatures
-            signatures = write_signatures(signatures, checkpoint_dir, cfg,
-                                          n_winners)
-            metrics["signatures_resumed"] = False
-        else:
-            # signatures feed LSH and are re-read by reports/queries: pin
-            # them (small — content is already dropped).  With a
-            # checkpoint_dir the parquet checkpoint plays this role.
-            signatures = signatures.materialize()
+        from ..state.checkpoint import resume_signatures
+        signatures, n_cached, _ = resume_signatures(
+            winners, checkpoint_dir, cfg,
+            lambda ds: fingerprint_dataset(ds, cfg))
+        metrics["signatures_resumed"] = n_cached > 0
+        metrics["n_signatures_cached"] = n_cached
+        signatures = signatures.materialize()
+    else:
+        # signatures feed LSH and are re-read by reports/queries: pin
+        # them (small — content is already dropped).  With a
+        # checkpoint_dir the parquet checkpoint plays this role.
+        signatures = fingerprint_dataset(winners, cfg).materialize()
     metrics["t_fingerprint"] = time.perf_counter() - t1
 
     # --- candidates + two-phase verification -----------------------------
@@ -170,7 +165,6 @@ def rematch(corpus_ds, cfg: PipelineConfig, checkpoint_dir: str) -> DedupResult:
     Requires a prior ``run_dedup(..., checkpoint_dir=...)`` with the same
     signature config; raises if the checkpoint is missing.
     """
-    from ..state.checkpoint import try_read_signatures
     res = run_dedup(corpus_ds, cfg, checkpoint_dir=checkpoint_dir)
     if not res.metrics.get("signatures_resumed"):
         raise ValueError(

@@ -13,11 +13,12 @@ The analogue of ``Video::run``'s capture+hash phase
   exactly like the monochrome reject sets hash=0 (``video.cpp:203-211``)
   while staying exact-dup eligible.
 
-Input:  normalize output (needs doc_id, n_bytes, content_canon).
+Input:  raw winner rows (content [+ doc_id]) — or normalize output with
+        ``emit_canonical=True`` for callers that pre-canonicalized.
 Output: doc_id, lang, n_bytes, n_tokens, n_shingles, simhash, simhash_head,
         simhash_tail, minhash (fixed_size_list<uint64, P>), anchors
-        (list<uint64>), low_content (bool).  ``content_canon`` is DROPPED
-        here — only signatures flow into the shuffles (SURVEY.md §7.4).
+        (list<uint64>), low_content (bool).  Content is DROPPED here —
+        only signatures flow into the shuffles (SURVEY.md §7.4).
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 from ..functions import hashing as H
-from ..functions.text import canonicalize, tokenize
+from ..functions.text import tokenize
 
 
 class FingerprintActor:

@@ -2,60 +2,161 @@
 
 The reference caches per-video metadata + captures in SQLite keyed by
 ``md5(basename + mtime)`` with a ``version`` table guarding compatibility
-(``db.cpp:22-30``, ``db.cpp:46-47``); a re-run skips straight to comparison
-(">10x faster loading once cached", readme.md:35).
+(``db.cpp:22-30``, ``db.cpp:46-47``); a re-run only computes what is
+missing (">10x faster loading once cached", readme.md:35).
 
-Here: the fingerprint stage writes its output dataset as partitioned
-Parquet under ``<dir>/signatures/<signature_config_hash>/`` plus a
-manifest recording the row count.  A re-run with the same signature config
-(thresholds deliberately excluded — they are match-time-only parameters,
-``mainwindow.cpp:110-121``) and the same winner count reads the checkpoint
-instead of recomputing.  A config change lands in a different directory,
-so stale entries are simply never read (the ``version``-table semantic).
+Here the unit of caching is the DOCUMENT, like the reference — not the
+run.  The fingerprint stage writes signature parquet under
+``<dir>/signatures/<signature_config_hash>/data/``; on the next run:
+
+- cached rows whose doc_id is still a winner are reused as-is,
+- only the DELTA (new/changed winners) is fingerprinted,
+- the delta is appended as new part files (resumable after a mid-run
+  kill: whatever was flushed is reused, the rest recomputed).
+
+A signature-config change lands in a different directory, so stale
+entries are never read (the ``version``-table semantic); thresholds are
+deliberately NOT part of the key (match-time-only parameters,
+``mainwindow.cpp:110-121``).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
+import numpy as np
+import pyarrow as pa
+import ray
 import ray.data as rd
-
-from ..config import PipelineConfig
 
 _MANIFEST = "MANIFEST.json"
 
 
-def _sig_dir(checkpoint_dir: str, cfg: PipelineConfig) -> str:
+def _sig_dir(checkpoint_dir: str, cfg) -> str:
     return os.path.join(checkpoint_dir, "signatures",
                         cfg.signature_config_hash)
 
 
-def try_read_signatures(checkpoint_dir: str, cfg: PipelineConfig,
-                        n_winners: int):
-    d = _sig_dir(checkpoint_dir, cfg)
-    mpath = os.path.join(d, _MANIFEST)
-    if not os.path.exists(mpath):
-        return None
-    with open(mpath) as f:
-        manifest = json.load(f)
-    if manifest.get("rows") != n_winners:
-        return None          # input changed -> recompute
-    return rd.read_parquet(os.path.join(d, "data"))
+def _data_dir(checkpoint_dir: str, cfg) -> str:
+    return os.path.join(_sig_dir(checkpoint_dir, cfg), "data")
 
 
-def write_signatures(signatures_ds, checkpoint_dir: str,
-                     cfg: PipelineConfig, n_winners: int):
-    """Write-then-manifest: the manifest lands only after the data is fully
-    written, so a killed run leaves an ignorable partial directory."""
-    d = _sig_dir(checkpoint_dir, cfg)
-    data_dir = os.path.join(d, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    signatures_ds.write_parquet(data_dir)
-    with open(os.path.join(d, _MANIFEST), "w") as f:
-        json.dump({"rows": n_winners,
-                   "config_hash": cfg.signature_config_hash}, f)
-    return rd.read_parquet(data_dir)
+def cached_doc_ids(checkpoint_dir: str, cfg) -> np.ndarray:
+    """Sorted doc_ids present in the signature checkpoint (empty if none).
+
+    Reads only the doc_id column — the checkpoint probe costs one slim
+    column scan, not a signature load.
+    """
+    d = _data_dir(checkpoint_dir, cfg)
+    if not glob.glob(os.path.join(d, "*.parquet")):
+        return np.empty(0, dtype=np.int64)
+    ids = rd.read_parquet(d, columns=["doc_id"])
+    parts = [b["doc_id"].to_numpy()
+             for b in ids.iter_batches(batch_size=1 << 20,
+                                       batch_format="pandas")]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def resume_signatures(winners_ds, checkpoint_dir: str, cfg,
+                      fingerprint_fn) -> tuple:
+    """Per-document incremental resume.
+
+    ``fingerprint_fn(ds) -> signatures_ds`` fingerprints a winner subset.
+    Returns ``(signatures_ds, n_cached, n_computed_hint)`` where the
+    signatures dataset is the union of reused cached rows (still-valid
+    winners only) and the freshly computed delta; the delta is persisted
+    before returning, so a later kill never loses it.
+    """
+    from .joins import bucketed_semi_join
+    from ..stages.normalize import batch_doc_ids
+
+    d = _data_dir(checkpoint_dir, cfg)
+    os.makedirs(d, exist_ok=True)
+    # sweep scratch dirs left by killed runs (their parts never reached
+    # data/, so they are dead weight)
+    import shutil
+    for stale in glob.glob(os.path.join(_sig_dir(checkpoint_dir, cfg),
+                                        "tmp-*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    cached = cached_doc_ids(checkpoint_dir, cfg)
+    cached_ref = ray.put(cached)
+
+    def _split(batch: pa.Table, want_cached: bool) -> pa.Table:
+        ids = ray.get(cached_ref)
+        if "doc_id" not in batch.column_names:
+            batch = batch.append_column(
+                "doc_id", pa.array(batch_doc_ids(batch), pa.int64()))
+        b = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            hit = np.zeros(len(b), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(ids, b), len(ids) - 1)
+            hit = ids[pos] == b
+        return batch.filter(pa.array(hit if want_cached else ~hit))
+
+    missing = winners_ds.map_batches(
+        lambda t: _split(t, want_cached=False), batch_format="pyarrow")
+    delta = fingerprint_fn(missing)
+
+    # persist the delta as NEW part files: write to a scratch dir, then
+    # atomically rename each finished part in — a mid-run kill leaves only
+    # an ignorable scratch dir, never a truncated parquet in data/
+    import uuid
+    tmp = os.path.join(_sig_dir(checkpoint_dir, cfg),
+                       f"tmp-{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp, exist_ok=True)
+    delta.write_parquet(tmp)
+    n_delta_files = 0
+    for p in glob.glob(os.path.join(tmp, "*.parquet")):
+        os.rename(p, os.path.join(
+            d, f"delta-{uuid.uuid4().hex[:8]}-{os.path.basename(p)}"))
+        n_delta_files += 1
+    os.rmdir(tmp)
+
+    if len(cached) == 0:
+        sigs = rd.read_parquet(d)
+        _write_manifest(checkpoint_dir, cfg)
+        return sigs, 0, n_delta_files
+
+    # reuse cached rows, but only those that are STILL winners (a changed
+    # input may have demoted some cached docs)
+    all_sigs = rd.read_parquet(d)
+    winner_ids = winners_ds.map_batches(
+        lambda t: (t if "doc_id" in t.column_names else t.append_column(
+            "doc_id", pa.array(batch_doc_ids(t), pa.int64())))
+        .select(["doc_id"]), batch_format="pyarrow")
+    w_parts = [b["doc_id"].to_numpy()
+               for b in winner_ids.iter_batches(batch_size=1 << 20,
+                                                batch_format="pandas")]
+    wids = (np.unique(np.concatenate(w_parts)) if w_parts
+            else np.empty(0, dtype=np.int64))
+    if len(wids) > cfg.broadcast_cap:
+        sigs = bucketed_semi_join(all_sigs, wids, "doc_id",
+                                  cfg.join_buckets)
+    else:
+        wref = ray.put(wids)
+
+        def _keep(batch: pa.Table) -> pa.Table:
+            ids = ray.get(wref)
+            if len(ids) == 0:
+                return batch.slice(0, 0)
+            b = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(ids, b), len(ids) - 1)
+            return batch.filter(pa.array(ids[pos] == b))
+
+        sigs = all_sigs.map_batches(_keep, batch_format="pyarrow")
+    _write_manifest(checkpoint_dir, cfg)
+    return sigs, int(len(cached)), n_delta_files
+
+
+def _write_manifest(checkpoint_dir: str, cfg):
+    with open(os.path.join(_sig_dir(checkpoint_dir, cfg), _MANIFEST),
+              "w") as f:
+        json.dump({"config_hash": cfg.signature_config_hash}, f)
 
 
 def write_lineage(checkpoint_dir: str, stage: str, record: dict):
