@@ -44,7 +44,7 @@ SEED = 42
 # bench corpus size by scale factor (FIXTURES.md: bench = 50k-500k at
 # sf0.1; sized so parallel compute dominates the fixed pipeline overhead
 # and the N-vs-4N scaling measurement reflects the system, not the floor)
-_SF_DOCS = {"sf0.001": 2_000, "sf0.01": 10_000, "sf0.1": 200_000}
+_SF_DOCS = {"sf0.001": 2_000, "sf0.01": 10_000, "sf0.1": 500_000}
 
 
 def corpus_dir() -> tuple:
