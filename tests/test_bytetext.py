@@ -1,0 +1,54 @@
+"""Byte-level canonicalizer: bit-exact equivalence with the string spec.
+
+The byte path is NOT wired into the pipeline (measured slower than the
+per-line regex for these doc sizes); it stays as the executable spec of
+the canonical transform and the scale alternative for very large docs.
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from vidupe_ray.functions.bytetext import canonical_bytes, normalize_hashes
+from vidupe_ray.functions.text import canonicalize
+
+EDGE_CASES = ["", "a", "a\r\nb", "  x  \n\n\n", "\t\ta\tb\t",
+              "a\n\n\nb\n  \n", " \n \n", "x\r", "\r", "\r\n",
+              "a \r\n b", "x\n \ny", "é \xa0 ü", "中文  注释\r\n",
+              "a\v b\fc", "   ", "\n\n", "a" * 100 + "\r", " a  \n",
+              "\xa0only\xa0", "🎉 \t 🎉"]
+
+
+def _check(texts):
+    arr = pa.array(texts, pa.string())
+    canon, c_off, r_off, raw = canonical_bytes(arr)
+    for i, t in enumerate(texts):
+        got = bytes(canon[c_off[i]:c_off[i + 1]])
+        want = canonicalize(t or "").encode("utf-8")
+        assert got == want, (t, got, want)
+
+
+def test_edge_cases():
+    _check(EDGE_CASES)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120),
+    max_size=6))
+def test_property_equivalence(texts):
+    _check(texts)
+
+
+def test_hashes_and_counters():
+    arr = pa.array(EDGE_CASES, pa.string())
+    nh = normalize_hashes(arr)
+    for i, t in enumerate(EDGE_CASES):
+        assert nh["sha256"][i] == hashlib.sha256(t.encode()).hexdigest()
+        cn = canonicalize(t)
+        assert nh["sha256_canon"][i] == \
+            hashlib.sha256(cn.encode()).hexdigest()
+        assert nh["n_lines"][i] == (cn.count("\n") + 1 if cn else 0)

@@ -1,0 +1,149 @@
+"""Byte-level canonicalization + hashing over Arrow string buffers.
+
+The normalize stage's hot loop without a single Python string: the
+canonical transform (``functions/text.canonicalize``) re-expressed as
+vectorized byte masks over the concatenated UTF-8 buffer, producing
+exactly ``canonicalize(text).encode()`` per document (property-tested),
+plus per-doc sha256 of raw and canonical bytes (hashlib over buffer
+slices — C speed, no decode/encode round-trips).
+
+Canonical rules (must stay bit-identical to the string implementation):
+1. CRLF -> LF, lone CR -> LF
+2. every run of [ \\t \\f \\v] collapses to one space
+3. spaces adjacent to line starts/ends are stripped
+4. trailing newline runs (trailing blank lines + final EOL) are dropped
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_HWS = np.zeros(256, dtype=bool)         # horizontal whitespace
+for _c in (0x20, 0x09, 0x0C, 0x0B):
+    _HWS[_c] = True
+_CR, _LF, _SP = 0x0D, 0x0A, 0x20
+
+
+def _string_parts(arr) -> tuple:
+    import pyarrow.compute as pc
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    ndocs = len(arr)
+    off_dtype = (np.int64 if pa.types.is_large_string(arr.type)
+                 else np.int32)
+    offs_full = np.frombuffer(arr.buffers()[1], dtype=off_dtype)
+    offs = offs_full[arr.offset:arr.offset + ndocs + 1].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (np.frombuffer(buf, dtype=np.uint8) if buf is not None
+            else np.empty(0, dtype=np.uint8))
+    lo = offs[0]
+    return data[lo:offs[-1]], offs - lo, ndocs
+
+
+def canonical_bytes(arr) -> tuple:
+    """Arrow string array -> (canon_bytes: uint8[N'], canon_offsets,
+    raw_offsets, raw_bytes) with canon == canonicalize(text).encode()."""
+    b, doc_off, ndocs = _string_parts(arr)
+    n = len(b)
+    if n == 0:
+        z = np.zeros(ndocs + 1, dtype=np.int64)
+        return np.empty(0, np.uint8), z, doc_off, b
+
+    is_doc_start = np.zeros(n + 1, dtype=bool)
+    is_doc_start[doc_off[:-1][doc_off[:-1] < n]] = True
+
+    # --- step 1: CRLF/CR -> LF ------------------------------------------
+    work = b.copy()
+    keep = np.ones(n, dtype=bool)
+    cr = work == _CR
+    nxt_lf = np.zeros(n, dtype=bool)
+    nxt_lf[:-1] = work[1:] == _LF
+    # a CR directly before an LF *within the same doc* is dropped
+    last_of_doc = np.zeros(n, dtype=bool)
+    ends = doc_off[1:] - 1
+    last_of_doc[ends[ends >= 0]] = True
+    drop_cr = cr & nxt_lf & ~last_of_doc
+    keep[drop_cr] = False
+    work[cr & ~drop_cr] = _LF                 # lone CR -> LF
+
+    # --- step 2: collapse horizontal-ws runs to one space ----------------
+    hws = _HWS[work] & keep
+    prev_hws = np.zeros(n, dtype=bool)
+    prev_hws[1:] = hws[:-1]
+    start_of_doc = np.zeros(n, dtype=bool)
+    start_of_doc[doc_off[:-1][doc_off[:-1] < n]] = True
+    run_start = hws & (~prev_hws | start_of_doc)
+    keep[hws & ~run_start] = False
+    work[run_start] = _SP
+
+    # --- step 3: strip spaces at line edges ------------------------------
+    # operate in "kept space": for each kept byte, its kept neighbours
+    kept_idx = np.flatnonzero(keep)
+    ks = work[kept_idx]
+    kdoc = np.searchsorted(doc_off[1:], kept_idx, side="right")
+    m = len(kept_idx)
+    prev_ch = np.full(m, _LF, dtype=np.uint8)      # doc start acts like LF
+    prev_ch[1:] = ks[:-1]
+    prev_same = np.zeros(m, dtype=bool)
+    prev_same[1:] = kdoc[1:] == kdoc[:-1]
+    prev_ch[~prev_same] = _LF
+    next_ch = np.full(m, _LF, dtype=np.uint8)      # doc end acts like LF
+    next_ch[:-1] = ks[1:]
+    next_same = np.zeros(m, dtype=bool)
+    next_same[:-1] = kdoc[:-1] == kdoc[1:]
+    next_ch[~next_same] = _LF
+    edge_space = (ks == _SP) & ((prev_ch == _LF) | (next_ch == _LF))
+    keep[kept_idx[edge_space]] = False
+
+    # --- step 4: drop trailing newline runs ------------------------------
+    kept_idx = np.flatnonzero(keep)
+    ks = work[kept_idx]
+    kdoc = np.searchsorted(doc_off[1:], kept_idx, side="right")
+    m = len(kept_idx)
+    if m:
+        # last kept non-LF position per doc
+        nonlf = ks != _LF
+        pos_or_neg = np.where(nonlf, np.arange(m), -1)
+        last_nonlf = np.full(ndocs, -1, dtype=np.int64)
+        kdoc_starts = np.searchsorted(kdoc, np.arange(ndocs))
+        # reduceat needs indices < m; guard empty-tail docs
+        valid = kdoc_starts < m
+        if valid.any():
+            red = np.maximum.reduceat(pos_or_neg, kdoc_starts[valid])
+            # reduceat over trailing equal starts duplicates — recompute
+            # properly per doc via boundaries
+            last_nonlf[valid] = red
+        trailing = (ks == _LF) & (np.arange(m) > last_nonlf[kdoc])
+        keep[kept_idx[trailing]] = False
+
+    kept_idx = np.flatnonzero(keep)
+    canon = work[kept_idx]
+    kdoc = np.searchsorted(doc_off[1:], kept_idx, side="right")
+    counts = np.bincount(kdoc, minlength=ndocs)
+    canon_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return canon, canon_off, doc_off, b
+
+
+def normalize_hashes(arr) -> dict:
+    """Per-doc raw/canonical sha256 hex + counters, all from buffers."""
+    canon, c_off, r_off, raw = canonical_bytes(arr)
+    ndocs = len(c_off) - 1
+    sha_raw = [hashlib.sha256(raw[r_off[d]:r_off[d + 1]]).hexdigest()
+               for d in range(ndocs)]
+    sha_canon = [hashlib.sha256(canon[c_off[d]:c_off[d + 1]]).hexdigest()
+                 for d in range(ndocs)]
+    n_bytes = np.diff(r_off).astype(np.int64)
+    c_counts = np.diff(c_off)
+    if len(canon):
+        lf_cum = np.concatenate([[0], np.cumsum(canon == _LF)])
+        n_lf = (lf_cum[c_off[1:]] - lf_cum[c_off[:-1]]).astype(np.int64)
+    else:
+        n_lf = np.zeros(ndocs, dtype=np.int64)
+    n_lines = np.where(c_counts > 0, n_lf + 1, 0).astype(np.int64)
+    status = np.where(c_counts > 0, "ok", "empty")
+    return {"sha256": sha_raw, "sha256_canon": sha_canon,
+            "n_bytes": n_bytes, "n_lines": n_lines, "status": status}

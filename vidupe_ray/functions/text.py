@@ -39,7 +39,10 @@ def canonicalize(text: str) -> str:
     if not text:
         return ""
     text = text.replace("\r\n", "\n").replace("\r", "\n")
-    lines = [_WS_RUN_RE.sub(" ", ln).strip() for ln in text.split("\n")]
+    # strip(" ") not strip(): the canonical spec is ASCII-whitespace only
+    # (mirrors the byte-level implementation in functions/bytetext.py;
+    # unicode spaces are content, not presentation)
+    lines = [_WS_RUN_RE.sub(" ", ln).strip(" ") for ln in text.split("\n")]
     while lines and not lines[-1]:
         lines.pop()
     return "\n".join(lines)
