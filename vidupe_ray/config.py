@@ -93,6 +93,12 @@ class PipelineConfig:
     # --- execution -------------------------------------------------------
     seed: int = 42
     batch_size: int = 512         # docs per fingerprint batch (content is wide)
+    pin_corpus: bool = True       # materialize the repartitioned raw corpus
+                                  # once (content enters the object store a
+                                  # single time); False re-executes the
+                                  # source read per consumer — the choice
+                                  # when the corpus exceeds object-store
+                                  # capacity (100 TB case: always False)
     target_blocks: int | None = None  # block count for the main dataset chain;
                                       # default 2x available CPUs.  Hundreds of
                                       # tiny blocks make every sort-shuffle a

@@ -77,7 +77,9 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     # (recompute beats shipping; SURVEY.md §7.4 wide-record rule).
     nblocks = cfg.target_blocks or max(
         8, 2 * int(ray.cluster_resources().get("CPU", 8)))
-    corpus = corpus_ds.repartition(nblocks).materialize()
+    corpus = corpus_ds.repartition(nblocks)
+    if cfg.pin_corpus:
+        corpus = corpus.materialize()
 
     # metadata-only normalize: hashes + counters + status, ~100 B/row
     docs = corpus.map_batches(normalize_batch,

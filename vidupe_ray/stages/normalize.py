@@ -73,7 +73,10 @@ def normalize_batch(batch: pa.Table, cfg: PipelineConfig | None = None,
         sha_raw[i] = hashlib.sha256(raw_b).hexdigest()
         c = canonicalize(text)
         canon[i] = c
-        sha_canon[i] = hashlib.sha256(c.encode("utf-8", "surrogatepass")).hexdigest()
+        # most source files are already canonical: reuse the raw digest
+        # instead of hashing the same bytes twice
+        sha_canon[i] = (sha_raw[i] if c == text else hashlib.sha256(
+            c.encode("utf-8", "surrogatepass")).hexdigest())
         n_bytes[i] = len(raw_b)
         n_lines[i] = c.count("\n") + 1 if c else 0
         status[i] = STATUS_OK if c else STATUS_EMPTY
