@@ -77,3 +77,61 @@ def test_unicode_and_degenerate_content(ray_session):
     i2 = doc_id_for("r/a", "u2.py", "a" * 40)
     c = cl.set_index("doc_id")["cluster_id"]
     assert c.loc[i1] == c.loc[i2]
+
+
+def test_resume_with_bucketed_join_path(ray_session, tmp_path):
+    """Per-doc resume when the winner-id set exceeds broadcast_cap: the
+    cached-signature filter must take the bucketed join and still produce
+    identical clusters."""
+    import ray.data as rd
+    from vidupe_ray.corpus import generate_corpus
+    corpus, _ = generate_corpus(300, seed=31)
+    cfg = PipelineConfig(broadcast_cap=150, containment=False,
+                         cc_small_graph_threshold=10**9)
+    d = str(tmp_path / "ck")
+    r1 = run_dedup(rd.from_arrow(corpus), cfg, checkpoint_dir=d)
+    r2 = run_dedup(rd.from_arrow(corpus), cfg, checkpoint_dir=d)
+    assert r2.metrics["signatures_resumed"] is True
+    c1 = (r1.clusters.to_pandas()[["doc_id", "cluster_id"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    c2 = (r2.clusters.to_pandas()[["doc_id", "cluster_id"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(c1, c2)
+
+
+def test_lang_allowlist_filters_pipeline(ray_session):
+    import ray.data as rd
+    from vidupe_ray.corpus import generate_corpus
+    corpus, _ = generate_corpus(300, seed=8)
+    all_res = run_dedup(rd.from_arrow(corpus), PipelineConfig())
+    py_res = run_dedup(rd.from_arrow(corpus),
+                       PipelineConfig(lang_allowlist=("py",)))
+    n_all = all_res.clusters.count()
+    n_py = py_res.clusters.count()
+    assert 0 < n_py < n_all
+    langs = set(py_res.docs.to_pandas()["lang"])
+    assert langs == {"py"}
+
+
+def test_fingerprint_canonical_branch_matches_raw(ray_session):
+    """normalize(emit_canonical=True) -> fingerprint must yield the same
+    signatures as the raw-content path (tokens are canonicalization
+    invariant)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from vidupe_ray.corpus import generate_corpus
+    from vidupe_ray.stages.normalize import normalize_batch
+    from vidupe_ray.stages.fingerprint import fingerprint_dataset
+    cfg = PipelineConfig()
+    corpus, _ = generate_corpus(120, seed=6)
+    ds = rd.from_arrow(corpus)
+    raw_sigs = (fingerprint_dataset(ds, cfg).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+    canon_ds = ds.map_batches(
+        lambda t: normalize_batch(t, emit_canonical=True),
+        batch_format="pyarrow")
+    canon_sigs = (fingerprint_dataset(canon_ds, cfg).to_pandas()
+                  .sort_values("doc_id").reset_index(drop=True))
+    for col in ["doc_id", "simhash", "simhash_head", "simhash_tail",
+                "n_tokens", "n_shingles"]:
+        assert (raw_sigs[col] == canon_sigs[col]).all(), col
