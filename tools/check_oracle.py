@@ -72,7 +72,21 @@ def main(sf_dir: str):
             failures += 1
             continue
         if name not in sqls:
-            print(f"rows  {name:20s} rows={len(got)} (no oracle)")
+            # no SQL oracle: verify determinism instead — a second run
+            # must produce the identical value-hash
+            try:
+                got2 = canon(to_pandas(fn(sf_dir)))
+                same = (len(got) == len(got2)
+                        and value_hash(got.astype(str))
+                        == value_hash(got2.astype(str)))
+                status = "rows " if same else "FAIL "
+                if not same:
+                    failures += 1
+                print(f"{status} {name:20s} rows={len(got)} "
+                      f"(no oracle; deterministic={same})")
+            except Exception as e:
+                failures += 1
+                print(f"FAIL  {name:20s} rerun error: {e}")
             continue
         try:
             want = canon(con.sql(sqls[name]).fetchdf())
