@@ -101,9 +101,15 @@ def winner_filter(corpus_ds, membership_ds, cfg: PipelineConfig):
 
 
 def exact_edges(membership_ds):
-    """Loser -> winner edges feeding the union-find (kind='exact')."""
-    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+    """Loser -> winner edges feeding the union-find (kind='exact').
+
+    Arrow-out so the union with the (Arrow) verified-pair edges keeps one
+    block schema end to end."""
+    def _edges(df: pd.DataFrame) -> pa.Table:
         losers = df[df.doc_id != df.winner_id]
-        return pd.DataFrame({"a": losers["winner_id"].astype("int64"),
-                             "b": losers["doc_id"].astype("int64")})
+        return pa.table({
+            "a": pa.array(losers["winner_id"].to_numpy(np.int64),
+                          pa.int64()),
+            "b": pa.array(losers["doc_id"].to_numpy(np.int64),
+                          pa.int64())})
     return membership_ds.map_batches(_edges, batch_format="pandas")

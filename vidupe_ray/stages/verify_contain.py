@@ -74,20 +74,23 @@ def confirm_containment(cand_pairs_ds, winners_ds, cfg: PipelineConfig):
             content[did] = text
     content_ref = ray.put(content)
 
-    def _confirm(df: pd.DataFrame) -> pd.DataFrame:
+    def _confirm(batch: pa.Table) -> pa.Table:
         lookup = ray.get(content_ref)
-        keep = np.zeros(len(df), dtype=bool)
-        for i, (a, b_) in enumerate(zip(df["a"].to_numpy(),
-                                        df["b"].to_numpy())):
+        a_arr = batch.column("a").to_numpy(zero_copy_only=False)
+        b_arr = batch.column("b").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(a_arr), dtype=bool)
+        for i, (a, b_) in enumerate(zip(a_arr, b_arr)):
             ta = lookup.get(a)
             tb = lookup.get(b_)
             if ta is None or tb is None:
                 continue
             small, big = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
             keep[i] = bool(small) and small in big
-        out = df[keep].copy()
-        out["kind"] = "contain"
-        return out
+        out = batch.filter(pa.array(keep))
+        ki = out.schema.get_field_index("kind")
+        return out.set_column(ki, "kind",
+                              pa.array(["contain"] * out.num_rows,
+                                       pa.string()))
 
-    return cand_pairs_ds.map_batches(_confirm, batch_format="pandas",
+    return cand_pairs_ds.map_batches(_confirm, batch_format="pyarrow",
                                      batch_size=4096)
