@@ -187,3 +187,36 @@ def test_tokens_are_canonicalization_invariant():
         assert tokenize(t) == tokenize(canonicalize(t))
     for t in ["a\r\nb", "  x\t\ty  ", "é ümlaut ß", "中文 变量", "a🎉b"]:
         assert tokenize(t) == tokenize(canonicalize(t))
+
+
+def test_segment_pairs_cap_and_ring():
+    from vidupe_ray.state.bucketing import segment_pairs, segment_boundaries
+    # two segments: size 4 (full triu) and size 10 with cap 5 (ring window)
+    seg = np.array([[0, 4], [4, 14]])
+    i, j, capped = segment_pairs(seg, cap=5)
+    assert capped.tolist() == [False, True]
+    # segment 0: all 6 pairs
+    in0 = (i < 4)
+    assert in0.sum() == 6
+    # segment 1: ring window w = cap*cap//g = 25//10 = 2
+    in1 = ~in0
+    assert in1.sum() == 9 + 8                       # offsets 1 and 2
+    assert set((j[in1] - i[in1]).tolist()) == {1, 2}
+    # all pairs within bounds and i < j
+    assert (i < j).all() and (j < 14).all()
+    # connectivity: ring pairs chain the whole oversized segment
+    import itertools
+    nodes = set(range(4, 14))
+    edges = set(zip(i[in1], j[in1]))
+    reach = {4}
+    for _ in range(10):
+        reach |= {b for a, b in edges if a in reach}
+        reach |= {a for a, b in edges if b in reach}
+    assert reach == nodes
+
+
+def test_segment_boundaries_basic():
+    from vidupe_ray.state.bucketing import segment_boundaries
+    keys = np.array([1, 1, 2, 2, 2, 7])
+    assert segment_boundaries(keys).tolist() == [0, 2, 5, 6]
+    assert segment_boundaries(np.array([])).tolist() == [0]
