@@ -61,7 +61,6 @@ class PipelineConfig:
 
     # --- containment / substring pass (north-rule addition) --------------
     containment: bool = True
-    containment_threshold: float = 0.9   # estimated |A∩B| / |smaller| gate
     containment_est_floor: float = 0.5   # soft pre-filter on the MinHash
                                          # containment estimate before the
                                          # exact substring confirm (true
@@ -81,24 +80,41 @@ class PipelineConfig:
 
     # --- skew / scale knobs ----------------------------------------------
     band_group_cap: int = 256     # max docs verified all-pairs within one LSH/anchor
-                                  # bucket; larger groups fall back to capped linking
-                                  # (explicit skew handling; drops are logged, never silent)
+                                  # bucket; larger groups fall back to the
+                                  # hot_group_strategy (explicit skew handling;
+                                  # drops are logged, never silent)
+    hot_group_strategy: str = "ring"  # "ring" (sorted ring-linking, ~cap^2
+                                  # comparisons/group, connectivity-preserving) |
+                                  # "salt" (SURVEY §2.5 J1: split the group by
+                                  # hash(doc_id) into ~cap-sized salt subgroups,
+                                  # all-pairs within each + cross-salt sampling —
+                                  # ~g*cap comparisons, better pair-level recall)
     broadcast_cap: int = 2_000_000  # max ids for driver-side broadcast joins; above
                                     # this the bucketed shuffle join path is used
+    broadcast_bytes_cap: int = 1 << 30  # max cumulative payload bytes for a
+                                    # content broadcast (the id cap bounds COUNT;
+                                    # large documents hit this first and switch
+                                    # to the bucketed content join)
     join_buckets: int = 64        # buckets for the partitioned hash join fallback
-    cc_small_graph_threshold: int = 2_000_000  # edge count below which the
-                                  # duplicate graph is solved driver-side;
-                                  # above it the distributed star rounds run
+    cc_small_graph_threshold: int = 200_000  # edge count below which the
+                                  # duplicate graph is solved driver-side
+                                  # (vectorized union-find); above it the
+                                  # distributed star rounds run
 
     # --- execution -------------------------------------------------------
     seed: int = 42
     batch_size: int = 512         # docs per fingerprint batch (content is wide)
-    pin_corpus: bool = True       # materialize the repartitioned raw corpus
+    pin_corpus: bool | None = None  # materialize the repartitioned raw corpus
                                   # once (content enters the object store a
                                   # single time); False re-executes the
                                   # source read per consumer — the choice
                                   # when the corpus exceeds object-store
-                                  # capacity (100 TB case: always False)
+                                  # capacity (100 TB case: always False).
+                                  # None (default) = auto: pin only when the
+                                  # estimated corpus size fits within
+                                  # pin_corpus_fraction of object-store capacity
+    pin_corpus_fraction: float = 0.3  # object-store fraction the pinned corpus
+                                  # may occupy before auto-pin turns itself off
     target_blocks: int | None = None  # block count for the main dataset chain;
                                       # default 2x available CPUs.  Hundreds of
                                       # tiny blocks make every sort-shuffle a
@@ -161,6 +177,9 @@ class PipelineConfig:
                 f"(got {self.num_perms})")
         if self.tokenizer not in ("bytes", "regex"):
             raise ValueError(f"unknown tokenizer {self.tokenizer!r}")
+        if self.hot_group_strategy not in ("ring", "salt"):
+            raise ValueError(
+                f"unknown hot_group_strategy {self.hot_group_strategy!r}")
 
 
 DEFAULT_CONFIG = PipelineConfig()

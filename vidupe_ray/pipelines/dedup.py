@@ -35,13 +35,13 @@ import ray
 import ray.data as rd
 
 from ..config import PipelineConfig
+from ..state.joins import lookup_join
 from ..stages import cluster as cluster_stage
 from ..stages import exact_dedup as ed
 from ..stages import lsh
 from ..stages import verify_contain as vc
 from ..stages.fingerprint import fingerprint_dataset
 from ..stages.normalize import normalize_batch, apply_lang_filter
-from ..state.joins import broadcast_lookup_map, apply_lookup
 
 
 @dataclass
@@ -53,6 +53,27 @@ class DedupResult:
     clusters: "rd.Dataset"      # doc_id, cluster_id, is_canonical, ...
     rejects: "rd.Dataset"       # tagged invalid rows
     metrics: dict = field(default_factory=dict)
+
+
+def corpus_size_estimate(ds) -> int:
+    """Estimated in-memory bytes of the corpus WITHOUT executing the plan:
+    source parquet file sizes x a 2x decompression factor when the dataset
+    has file inputs; 0 (already resident, pinning is free) for in-memory
+    datasets.  Feeds the pin_corpus auto gate."""
+    import os
+    try:
+        files = ds.input_files()
+    except Exception:
+        files = None
+    if not files:
+        return 0
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            return 1 << 62          # un-statable source: assume huge
+    return 2 * total
 
 
 def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
@@ -78,7 +99,16 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     nblocks = cfg.target_blocks or max(
         8, 2 * int(ray.cluster_resources().get("CPU", 8)))
     corpus = corpus_ds.repartition(nblocks)
-    if cfg.pin_corpus:
+    pin = cfg.pin_corpus
+    if pin is None:
+        # auto gate: pin only when the corpus fits comfortably in the
+        # object store (at 100 TB it never does — the source re-read wins)
+        store = ray.cluster_resources().get("object_store_memory", 0)
+        est = corpus_size_estimate(corpus)
+        pin = bool(store) and est <= cfg.pin_corpus_fraction * store
+        metrics["pin_corpus_auto"] = pin
+        metrics["corpus_bytes_estimate"] = est
+    if pin:
         corpus = corpus.materialize()
 
     # metadata-only normalize: hashes + counters + status, ~100 B/row
@@ -89,9 +119,11 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     rejects = docs.filter(expr="status != 'ok'")
 
     membership = ed.exact_dedup(docs, cfg).materialize()
-    winners, n_winners = ed.winner_filter(corpus, membership, cfg)
+    reject_ids = rejects.select_columns(["doc_id"])
+    winners, wf_stats = ed.winner_filter(corpus, membership, cfg,
+                                         rejects_ids_ds=reject_ids)
     exact_edge_ds = ed.exact_edges(membership)
-    metrics["n_winners"] = n_winners
+    metrics.update(wf_stats)
     metrics["t_normalize_dedup"] = time.perf_counter() - t0
 
     # --- fingerprint (+ per-document incremental checkpoint/resume) ------
@@ -115,8 +147,9 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     t2 = time.perf_counter()
     cand_pairs = lsh.candidate_pairs(signatures, cfg).materialize()
     metrics["n_candidates"] = cand_pairs.count()
-    verified = lsh.verify_candidates(cand_pairs, signatures,
-                                     cfg).materialize()
+    verified = lsh.verify_candidates(
+        cand_pairs, signatures, cfg,
+        n_pairs=metrics["n_candidates"]).materialize()
     near = verified.filter(expr="kind == 'near'")
     cand = verified.filter(expr="kind == 'contain_cand'")
     if cfg.containment:
@@ -179,26 +212,18 @@ def assign_clusters(docs_ds, parents_ds, cfg: PipelineConfig):
     """All OK docs -> (doc_id, cluster_id, n_bytes, cluster_size,
     is_canonical).
 
-    Parent map is broadcast (it only contains docs that have duplicates);
-    singletons map to themselves.  Canonical pick mirrors
-    ``highlightBetterProperties`` size ranking (``comparison.cpp:266-330``):
-    keep the largest file, tie-break on min doc_id — a pure min/max
-    reduction, deterministic under any execution order.
+    Parent map joins by the cap-gated ``lookup_join`` (it only contains
+    docs that have duplicates — broadcast below ``broadcast_cap``, one
+    bucketed enrich shuffle above); singletons map to themselves.
+    Canonical pick mirrors ``highlightBetterProperties`` size ranking
+    (``comparison.cpp:266-330``): keep the largest file, tie-break on min
+    doc_id — a pure min/max reduction, deterministic under any execution
+    order.
     """
-    keys_ref, vals_ref, n_map = broadcast_lookup_map(
-        parents_ds, "doc_id", "cluster_id", cfg.broadcast_cap)
-
-    def _assign(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        cid = apply_lookup(ids.astype(np.int64), keys_ref, vals_ref)
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "cluster_id": pa.array(cid, pa.int64()),
-            "n_bytes": batch.column("n_bytes"),
-        })
-
     ok = docs_ds.filter(expr="status == 'ok'")
-    assigned = ok.map_batches(_assign, batch_format="pyarrow")
+    slim = ok.select_columns(["doc_id", "n_bytes"])
+    assigned = lookup_join(slim, "doc_id", parents_ds, "doc_id",
+                           "cluster_id", "cluster_id", cfg)
 
     def _canonical_bucket(df: pd.DataFrame) -> pd.DataFrame:
         """Whole bucket of clusters at once: canonical = max n_bytes, tie
@@ -223,25 +248,17 @@ def clusters_with_identity(res: DedupResult, cfg: PipelineConfig):
     (``comparison.cpp:86,111``, SURVEY.md §2.5 J6).
 
     The parent side of the join is the clusters dataset keyed by doc_id;
-    identity rides the docs dataset.  Implemented as a broadcast of the
-    (doc_id -> cluster_id, is_canonical) map over the docs scan — clusters
-    of a dedup run are the small side by construction.
+    identity rides the docs dataset.  Cap-gated ``lookup_join``: broadcast
+    of the (doc_id -> cluster_id) map below ``broadcast_cap``, bucketed
+    enrich shuffle above it.
     """
-    from ..state.joins import broadcast_lookup_map, apply_lookup
-    k_ref, v_ref, _ = broadcast_lookup_map(
-        res.clusters.select_columns(["doc_id", "cluster_id"]),
-        "doc_id", "cluster_id", cfg.broadcast_cap)
-
-    def _join(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        cid = apply_lookup(ids.astype(np.int64), k_ref, v_ref)
-        return batch.select(
-            ["repo", "path", "commit", "lang", "doc_id",
-             "n_bytes", "sha256"]).append_column(
-            "cluster_id", pa.array(cid, pa.int64()))
-
-    ok = res.docs.filter(expr="status == 'ok'")
-    return ok.map_batches(_join, batch_format="pyarrow")
+    ok = (res.docs.filter(expr="status == 'ok'")
+          .select_columns(["repo", "path", "commit", "lang", "doc_id",
+                           "n_bytes", "sha256"]))
+    return lookup_join(ok, "doc_id",
+                       res.clusters.select_columns(["doc_id",
+                                                    "cluster_id"]),
+                       "doc_id", "cluster_id", "cluster_id", cfg)
 
 
 def cluster_report(clusters_ds):

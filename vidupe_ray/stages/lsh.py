@@ -290,26 +290,124 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig,
     return deduped
 
 
-def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig):
+def pair_id_ds(pairs_ds, cols=("a", "b")):
+    """Flatten pair endpoints into a single ``doc_id`` column dataset
+    (feeds ``sharded_key_refs`` — the candidate id set never needs to be
+    collected on the driver)."""
+    cols = list(cols)
+
+    def _ids(t: pa.Table) -> pa.Table:
+        parts = [t.column(c).to_numpy(zero_copy_only=False) for c in cols]
+        return pa.table({"doc_id": pa.array(np.concatenate(parts)
+                                            if parts else
+                                            np.empty(0, np.int64),
+                                            pa.int64())})
+
+    return pairs_ds.select_columns(cols).map_batches(
+        _ids, batch_format="pyarrow")
+
+
+def apply_pair_decision(batch: pa.Table, jac: np.ndarray,
+                        cfg: PipelineConfig) -> pa.Table:
+    """The phase-2 verdict shared by the broadcast and bucketed join paths:
+    Jaccard + length-modifier decision (``comparison.cpp:144-147``) plus
+    the containment-estimate pruning and the near->contain demotion."""
+    kind = np.asarray(batch.column("kind").to_pylist())
+    mod = batch.column("modifier").to_numpy(zero_copy_only=False)
+    keep = kind == "near"                # simhash mode: already decided
+    out_kind = kind.copy()
+
+    nsh_a = batch.column("nsh_a").to_numpy(zero_copy_only=False)
+    nsh_b = batch.column("nsh_b").to_numpy(zero_copy_only=False)
+    nsh_sm = np.minimum(nsh_a, nsh_b)
+    nsh_bg = np.maximum(nsh_a, nsh_b)
+    est = S.containment_estimate(jac, nsh_a, nsh_b)
+    contain_ok = ((nsh_bg >= cfg.min_containment_ratio * nsh_sm)
+                  & (nsh_sm >= cfg.min_shingles)
+                  & (est >= cfg.containment_est_floor))
+
+    nc = kind == "near_cand"
+    if nc.any():
+        dec = S.jaccard_decision(jac, mod, cfg)
+        keep = keep | (nc & dec)
+        out_kind = np.where(nc & dec, "near", out_kind)
+        # a gate-passing pair that fails the Jaccard decision may still
+        # be a containment duplicate (truncated/embedded docs): route it
+        # to the substring confirm — dedupe dropped its anchor-channel
+        # twin in favor of this row
+        demote = nc & ~dec & contain_ok
+        keep = keep | demote
+        out_kind = np.where(demote, "contain_cand", out_kind)
+
+    cc = kind == "contain_cand"
+    if cc.any():
+        keep = keep | (cc & contain_ok)
+    t = batch.set_column(batch.schema.get_field_index("jaccard"),
+                         "jaccard", pa.array(jac, pa.float64()))
+    t = t.set_column(t.schema.get_field_index("kind"), "kind",
+                     pa.array(out_kind, pa.string()))
+    return t.filter(pa.array(keep))
+
+
+def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig,
+                      n_pairs: int | None = None):
     """Phase 2: fetch MinHash signatures for candidate doc ids only and
     apply the Jaccard + length-modifier decision (the SSIM-stage analogue,
     ``comparison.cpp:144-147``) plus the containment-estimate pruning.
 
-    The candidate id set is orders of magnitude smaller than the corpus;
-    its signature matrix is broadcast once (``ray.put``) — the 'small side
-    broadcast' join pattern.  Returns a dataset of verified 'near' pairs
-    and surviving 'contain_cand' pairs (for the substring confirm).
+    Two equivalent join plans, cap-gated on the candidate id count (the
+    reference streams all input sizes, ``comparison.cpp:101-126`` — so
+    must we):
+
+    - BROADCAST (id count <= ``broadcast_cap``): the id-filtered signature
+      matrix is ``ray.put`` once and probed per pair batch — the 'small
+      side broadcast' pattern.
+    - BUCKETED (above the cap): signatures are id-filtered IN PLACE
+      (sharded key refs — no driver materialization), then joined onto the
+      pair rows by two ``bucketed_enrich`` shuffles (a-side, b-side); only
+      candidate signatures ever cross the wire.
+
+    Returns a dataset of verified 'near' pairs and surviving
+    'contain_cand' pairs (for the substring confirm).
     """
+    from ..state.joins import (bucketed_enrich, filter_by_key_shards,
+                               sharded_key_refs)
+    import ray.data as rd
+    if n_pairs is None:
+        n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return rd.from_arrow(_empty_pairs())
+
+    if 2 * n_pairs > cfg.broadcast_cap:
+        # ---- bucketed signature join (the 100x-scale path) -------------
+        refs = sharded_key_refs(pair_id_ds(pairs_ds), "doc_id",
+                                cfg.join_buckets)
+        sig_sub = filter_by_key_shards(
+            signatures_ds.select_columns(["doc_id", "minhash"]),
+            "doc_id", refs).materialize()
+        enriched = bucketed_enrich(
+            bucketed_enrich(pairs_ds, "a", sig_sub, "doc_id",
+                            {"minhash": "__mh_a__"},
+                            buckets=cfg.join_buckets),
+            "b", sig_sub, "doc_id", {"minhash": "__mh_b__"},
+            buckets=cfg.join_buckets)
+
+        def _verify_joined(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_pairs()
+            mh_a = fsl_matrix(batch, "__mh_a__", cfg.num_perms)
+            mh_b = fsl_matrix(batch, "__mh_b__", cfg.num_perms)
+            jac = S.jaccard_from_minhash(mh_a, mh_b)
+            slim = batch.drop_columns(["__mh_a__", "__mh_b__"])
+            return apply_pair_decision(slim, jac, cfg)
+
+        return enriched.map_batches(_verify_joined, batch_format="pyarrow")
+
+    # ---- broadcast signature fetch (the fast path under the cap) --------
     from .verify_contain import collect_ids
     ids = collect_ids(pairs_ds)
     if len(ids) == 0:
-        import ray.data as rd
         return rd.from_arrow(_empty_pairs())
-    if len(ids) > cfg.broadcast_cap:
-        raise ValueError(
-            f"{len(ids)} candidate docs exceed broadcast_cap "
-            f"({cfg.broadcast_cap}); enable the bucketed signature join "
-            "for this scale")
     ids_sorted = np.sort(ids)
     want_ref = ray.put(ids_sorted)
 
@@ -340,40 +438,6 @@ def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig):
         ia = np.searchsorted(sig_ids, a)
         ib = np.searchsorted(sig_ids, b_)
         jac = S.jaccard_from_minhash(sig_mh[ia], sig_mh[ib])
-        kind = np.asarray(batch.column("kind").to_pylist())
-        mod = batch.column("modifier").to_numpy(zero_copy_only=False)
-        keep = kind == "near"                # simhash mode: already decided
-        out_kind = kind.copy()
-
-        nsh_a = batch.column("nsh_a").to_numpy(zero_copy_only=False)
-        nsh_b = batch.column("nsh_b").to_numpy(zero_copy_only=False)
-        nsh_sm = np.minimum(nsh_a, nsh_b)
-        nsh_bg = np.maximum(nsh_a, nsh_b)
-        est = S.containment_estimate(jac, nsh_a, nsh_b)
-        contain_ok = ((nsh_bg >= cfg.min_containment_ratio * nsh_sm)
-                      & (nsh_sm >= cfg.min_shingles)
-                      & (est >= cfg.containment_est_floor))
-
-        nc = kind == "near_cand"
-        if nc.any():
-            dec = S.jaccard_decision(jac, mod, cfg)
-            keep = keep | (nc & dec)
-            out_kind = np.where(nc & dec, "near", out_kind)
-            # a gate-passing pair that fails the Jaccard decision may still
-            # be a containment duplicate (truncated/embedded docs): route it
-            # to the substring confirm — dedupe dropped its anchor-channel
-            # twin in favor of this row
-            demote = nc & ~dec & contain_ok
-            keep = keep | demote
-            out_kind = np.where(demote, "contain_cand", out_kind)
-
-        cc = kind == "contain_cand"
-        if cc.any():
-            keep = keep | (cc & contain_ok)
-        t = batch.set_column(batch.schema.get_field_index("jaccard"),
-                             "jaccard", pa.array(jac, pa.float64()))
-        t = t.set_column(t.schema.get_field_index("kind"), "kind",
-                         pa.array(out_kind, pa.string()))
-        return t.filter(pa.array(keep))
+        return apply_pair_decision(batch, jac, cfg)
 
     return pairs_ds.map_batches(_verify, batch_format="pyarrow")

@@ -9,9 +9,16 @@ suffix-array semantics; CPython's two-way string search plays the role of
 the suffix automaton — O(n+m) worst case, no index build).
 
 Content is re-joined for candidate docs only (wide-record management,
-SURVEY.md §7.4): the candidate id set is collected (it is many orders of
-magnitude smaller than the corpus), content is fetched by a broadcast
-semi-join, and shipped to the confirm tasks via one ``ray.put``.
+SURVEY.md §7.4), with two cap-gated plans:
+
+- BROADCAST (candidate count <= ``broadcast_cap`` AND canonical bytes <=
+  ``broadcast_bytes_cap``): the candidate (doc_id, content_canon) columns
+  are collected as sorted Arrow arrays and ``ray.put`` once; each confirm
+  batch probes by ``searchsorted`` — no Python dict, no per-pair hashing.
+- BUCKETED (above either cap): candidate content is id-filtered in place
+  (sharded key refs), then joined onto the pair rows by two
+  ``bucketed_enrich`` shuffles.  Only candidate content crosses the wire,
+  and no single object ever holds all of it.
 """
 
 from __future__ import annotations
@@ -35,62 +42,130 @@ def collect_ids(pairs_ds, cols=("a", "b")) -> np.ndarray:
     return np.unique(np.concatenate(ids))
 
 
-def confirm_containment(cand_pairs_ds, winners_ds, cfg: PipelineConfig):
+def _mark_contained(out: pa.Table) -> pa.Table:
+    ki = out.schema.get_field_index("kind")
+    return out.set_column(ki, "kind",
+                          pa.array(["contain"] * out.num_rows, pa.string()))
+
+
+def _substring_keep(texts_a, texts_b) -> np.ndarray:
+    """Vectorized-as-possible pair loop: the exact check itself is
+    CPython's C-level two-way search (``small in big``)."""
+    n = len(texts_a)
+    keep = np.zeros(n, dtype=bool)
+    for i in range(n):
+        ta, tb = texts_a[i], texts_b[i]
+        if ta is None or tb is None:
+            continue
+        small, big = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
+        keep[i] = bool(small) and small in big
+    return keep
+
+
+def confirm_containment(cand_pairs_ds, winners_ds, cfg: PipelineConfig,
+                        n_pairs: int | None = None):
     """contain_cand pairs + winner rows -> confirmed 'contain' pairs.
 
-    ``winners_ds`` carries raw ``content`` (plus doc_id); candidates are
-    few, so their content is fetched by broadcast semi-join and
-    canonicalized on the fly (same canonical form the fingerprints used).
+    ``winners_ds`` carries raw ``content`` (plus doc_id); candidate content
+    is canonicalized on the fly (same canonical form the fingerprints
+    used).
     """
     from ..functions.text import canonicalize
-    ids = collect_ids(cand_pairs_ds)
-    if len(ids) == 0:
-        from .lsh import _empty_pairs
-        import ray.data as rd
+    from .lsh import _empty_pairs
+    from ..state.joins import (bucketed_enrich, filter_by_key_shards,
+                               sharded_key_refs)
+    import ray.data as rd
+    if n_pairs is None:
+        n_pairs = cand_pairs_ds.count()
+    if n_pairs == 0:
         return rd.from_arrow(_empty_pairs())
-    if len(ids) > cfg.broadcast_cap:
-        raise ValueError(
-            f"{len(ids)} containment-candidate docs exceed broadcast_cap; "
-            "raise the cap or enable the bucketed content join")
 
-    ids_sorted = np.sort(ids)
-    ref_ids = ray.put(ids_sorted)
+    broadcastable = 2 * n_pairs <= cfg.broadcast_cap
+    if broadcastable:
+        ids = collect_ids(cand_pairs_ds)
+        refs = [ray.put(ids)]
+    else:
+        refs = sharded_key_refs(pair_id_ds_local(cand_pairs_ds),
+                                "doc_id", cfg.join_buckets)
 
-    def _grab(batch: pa.Table) -> pa.Table:
-        want = ray.get(ref_ids)
-        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(want, d), len(want) - 1)
-        sel = batch.filter(pa.array(want[pos] == d))
+    def _canon(batch: pa.Table) -> pa.Table:
         texts = [canonicalize(t if t is not None else "")
-                 for t in sel.column("content").to_pylist()]
-        return pa.table({"doc_id": sel.column("doc_id"),
-                         "content_canon": pa.array(texts, pa.string())})
+                 for t in batch.column("content").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "content_canon": pa.array(texts, pa.large_string())})
 
-    subset = winners_ds.map_batches(_grab, batch_format="pyarrow")
-    content = {}
-    for b in subset.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        for did, text in zip(b.column("doc_id").to_pylist(),
-                             b.column("content_canon").to_pylist()):
-            content[did] = text
-    content_ref = ray.put(content)
+    subset = filter_by_key_shards(
+        winners_ds, "doc_id", refs).map_batches(
+        _canon, batch_format="pyarrow").materialize()
 
-    def _confirm(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(content_ref)
-        a_arr = batch.column("a").to_numpy(zero_copy_only=False)
-        b_arr = batch.column("b").to_numpy(zero_copy_only=False)
-        keep = np.zeros(len(a_arr), dtype=bool)
-        for i, (a, b_) in enumerate(zip(a_arr, b_arr)):
-            ta = lookup.get(a)
-            tb = lookup.get(b_)
-            if ta is None or tb is None:
-                continue
-            small, big = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
-            keep[i] = bool(small) and small in big
-        out = batch.filter(pa.array(keep))
-        ki = out.schema.get_field_index("kind")
-        return out.set_column(ki, "kind",
-                              pa.array(["contain"] * out.num_rows,
-                                       pa.string()))
+    if broadcastable:
+        # the id cap bounds the COUNT; bytes are capped separately — large
+        # documents switch to the bucketed join long before the id cap
+        total_bytes = 0
+        id_parts, text_parts = [], []
+        for b in subset.iter_batches(batch_size=1 << 16,
+                                     batch_format="pyarrow"):
+            col = b.column("content_canon")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            total_bytes += col.nbytes
+            id_parts.append(b.column("doc_id").to_numpy(
+                zero_copy_only=False))
+            text_parts.append(col)
+            if total_bytes > cfg.broadcast_bytes_cap:
+                break
+        if total_bytes <= cfg.broadcast_bytes_cap:
+            ids_arr = (np.concatenate(id_parts) if id_parts
+                       else np.empty(0, np.int64))
+            order = np.argsort(ids_arr, kind="stable")
+            texts_all = (pa.concat_arrays(text_parts) if text_parts
+                         else pa.array([], pa.large_string()))
+            content_ref = ray.put(
+                (ids_arr[order],
+                 texts_all.take(pa.array(order, pa.int64()))))
 
-    return cand_pairs_ds.map_batches(_confirm, batch_format="pyarrow",
-                                     batch_size=4096)
+            def _confirm(batch: pa.Table) -> pa.Table:
+                sids, stexts = ray.get(content_ref)
+                a_arr = batch.column("a").to_numpy(zero_copy_only=False)
+                b_arr = batch.column("b").to_numpy(zero_copy_only=False)
+                if len(sids) == 0:
+                    return _empty_pairs()
+                pa_ = np.minimum(np.searchsorted(sids, a_arr),
+                                 len(sids) - 1)
+                pb_ = np.minimum(np.searchsorted(sids, b_arr),
+                                 len(sids) - 1)
+                hit = (sids[pa_] == a_arr) & (sids[pb_] == b_arr)
+                ta = stexts.take(pa.array(pa_, pa.int64())).to_pylist()
+                tb = stexts.take(pa.array(pb_, pa.int64())).to_pylist()
+                keep = _substring_keep(ta, tb) & hit
+                return _mark_contained(batch.filter(pa.array(keep)))
+
+            return cand_pairs_ds.map_batches(_confirm,
+                                             batch_format="pyarrow",
+                                             batch_size=4096)
+
+    # ---- bucketed content join (count or bytes over cap) ----------------
+    enriched = bucketed_enrich(
+        bucketed_enrich(cand_pairs_ds, "a", subset, "doc_id",
+                        {"content_canon": "__txt_a__"},
+                        buckets=cfg.join_buckets),
+        "b", subset, "doc_id", {"content_canon": "__txt_b__"},
+        buckets=cfg.join_buckets)
+
+    def _confirm_joined(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_pairs()
+        ta = batch.column("__txt_a__").to_pylist()
+        tb = batch.column("__txt_b__").to_pylist()
+        keep = _substring_keep(ta, tb)
+        out = batch.drop_columns(["__txt_a__", "__txt_b__"]).filter(
+            pa.array(keep))
+        return _mark_contained(out)
+
+    return enriched.map_batches(_confirm_joined, batch_format="pyarrow",
+                                batch_size=4096)
+
+
+def pair_id_ds_local(pairs_ds):
+    from .lsh import pair_id_ds
+    return pair_id_ds(pairs_ds)

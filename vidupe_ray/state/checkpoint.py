@@ -43,19 +43,29 @@ def _data_dir(checkpoint_dir: str, cfg) -> str:
     return os.path.join(_sig_dir(checkpoint_dir, cfg), "data")
 
 
-def cached_doc_ids(checkpoint_dir: str, cfg) -> np.ndarray:
-    """Sorted doc_ids present in the signature checkpoint (empty if none).
+def cached_doc_ids_ds(checkpoint_dir: str, cfg):
+    """doc_id-column dataset of the signature checkpoint, or ``None`` when
+    no checkpoint exists.
 
-    Reads only the doc_id column — the checkpoint probe costs one slim
-    column scan, not a signature load.
-    """
+    The checkpoint probe costs one slim column scan — and the id set is
+    never collected on the driver (it is ≈ the corpus; the resume joins
+    run through sharded key refs, state/joins.py)."""
     d = _data_dir(checkpoint_dir, cfg)
     if not glob.glob(os.path.join(d, "*.parquet")):
+        return None
+    return rd.read_parquet(d, columns=["doc_id"])
+
+
+def cached_doc_ids(checkpoint_dir: str, cfg) -> np.ndarray:
+    """Sorted doc_ids present in the signature checkpoint (empty if none).
+    Small-scale/test convenience — the resume path itself streams the ids
+    (``cached_doc_ids_ds``) instead of collecting them."""
+    ds = cached_doc_ids_ds(checkpoint_dir, cfg)
+    if ds is None:
         return np.empty(0, dtype=np.int64)
-    ids = rd.read_parquet(d, columns=["doc_id"])
     parts = [b["doc_id"].to_numpy()
-             for b in ids.iter_batches(batch_size=1 << 20,
-                                       batch_format="pandas")]
+             for b in ds.iter_batches(batch_size=1 << 20,
+                                      batch_format="pandas")]
     if not parts:
         return np.empty(0, dtype=np.int64)
     return np.unique(np.concatenate(parts))
@@ -70,8 +80,14 @@ def resume_signatures(winners_ds, checkpoint_dir: str, cfg,
     signatures dataset is the union of reused cached rows (still-valid
     winners only) and the freshly computed delta; the delta is persisted
     before returning, so a later kill never loses it.
+
+    The cached-id set is ≈ the corpus, so it is never collected on the
+    driver: both resume joins (winner \\ cached -> delta;
+    cached ∩ winner -> reuse) run through sharded key refs
+    (state/joins.py) — one shard of ids in driver memory at a time,
+    bucket-hashed shards above ``broadcast_cap``.
     """
-    from .joins import bucketed_semi_join
+    from .joins import filter_by_key_shards, sharded_key_refs
     from ..stages.normalize import batch_doc_ids
 
     d = _data_dir(checkpoint_dir, cfg)
@@ -82,24 +98,23 @@ def resume_signatures(winners_ds, checkpoint_dir: str, cfg,
     for stale in glob.glob(os.path.join(_sig_dir(checkpoint_dir, cfg),
                                         "tmp-*")):
         shutil.rmtree(stale, ignore_errors=True)
-    cached = cached_doc_ids(checkpoint_dir, cfg)
-    cached_ref = ray.put(cached)
+    cached_ds = cached_doc_ids_ds(checkpoint_dir, cfg)
+    n_cached = cached_ds.count() if cached_ds is not None else 0
+    cached_buckets = (1 if n_cached <= cfg.broadcast_cap
+                      else cfg.join_buckets)
+    cached_refs = (sharded_key_refs(cached_ds, "doc_id", cached_buckets)
+                   if n_cached else
+                   [ray.put(np.empty(0, dtype=np.int64))])
 
-    def _split(batch: pa.Table, want_cached: bool) -> pa.Table:
-        ids = ray.get(cached_ref)
+    def _ensure_ids(batch: pa.Table) -> pa.Table:
         if "doc_id" not in batch.column_names:
             batch = batch.append_column(
                 "doc_id", pa.array(batch_doc_ids(batch), pa.int64()))
-        b = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        if len(ids) == 0:
-            hit = np.zeros(len(b), dtype=bool)
-        else:
-            pos = np.minimum(np.searchsorted(ids, b), len(ids) - 1)
-            hit = ids[pos] == b
-        return batch.filter(pa.array(hit if want_cached else ~hit))
+        return batch
 
-    missing = winners_ds.map_batches(
-        lambda t: _split(t, want_cached=False), batch_format="pyarrow")
+    with_ids = winners_ds.map_batches(_ensure_ids, batch_format="pyarrow")
+    missing = filter_by_key_shards(with_ids, "doc_id", cached_refs,
+                                   invert=True)
     delta = fingerprint_fn(missing)
 
     # persist the delta as NEW part files: write to a scratch dir, then
@@ -117,40 +132,22 @@ def resume_signatures(winners_ds, checkpoint_dir: str, cfg,
         n_delta_files += 1
     os.rmdir(tmp)
 
-    if len(cached) == 0:
+    if n_cached == 0:
         sigs = rd.read_parquet(d)
         _write_manifest(checkpoint_dir, cfg)
         return sigs, 0, n_delta_files
 
     # reuse cached rows, but only those that are STILL winners (a changed
-    # input may have demoted some cached docs)
+    # input may have demoted some cached docs) — winner-id side streamed
+    # through sharded refs exactly like the cached side
     all_sigs = rd.read_parquet(d)
-    winner_ids = winners_ds.map_batches(
-        lambda t: (t if "doc_id" in t.column_names else t.append_column(
-            "doc_id", pa.array(batch_doc_ids(t), pa.int64())))
-        .select(["doc_id"]), batch_format="pyarrow")
-    w_parts = [b["doc_id"].to_numpy()
-               for b in winner_ids.iter_batches(batch_size=1 << 20,
-                                                batch_format="pandas")]
-    wids = (np.unique(np.concatenate(w_parts)) if w_parts
-            else np.empty(0, dtype=np.int64))
-    if len(wids) > cfg.broadcast_cap:
-        sigs = bucketed_semi_join(all_sigs, wids, "doc_id",
-                                  cfg.join_buckets)
-    else:
-        wref = ray.put(wids)
-
-        def _keep(batch: pa.Table) -> pa.Table:
-            ids = ray.get(wref)
-            if len(ids) == 0:
-                return batch.slice(0, 0)
-            b = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(ids, b), len(ids) - 1)
-            return batch.filter(pa.array(ids[pos] == b))
-
-        sigs = all_sigs.map_batches(_keep, batch_format="pyarrow")
+    winner_ids = with_ids.select_columns(["doc_id"])
+    n_w = winner_ids.count()
+    w_buckets = 1 if n_w <= cfg.broadcast_cap else cfg.join_buckets
+    w_refs = sharded_key_refs(winner_ids, "doc_id", w_buckets)
+    sigs = filter_by_key_shards(all_sigs, "doc_id", w_refs)
     _write_manifest(checkpoint_dir, cfg)
-    return sigs, int(len(cached)), n_delta_files
+    return sigs, n_cached, n_delta_files
 
 
 def _write_manifest(checkpoint_dir: str, cfg):

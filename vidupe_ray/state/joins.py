@@ -1,9 +1,27 @@
 """Partitioned join utilities — the explicit scale path when a broadcast
-semi-join would not fit (ray_guide.md 'Joins and lookups').
+join would not fit (ray_guide.md 'Joins and lookups').
 
-All joins here are expressed as ONE ``groupby(bucket)`` shuffle over the
-tagged union of both sides; group size is ``n / buckets`` by uniform hash, so
-no key skew can blow up a single reducer (doc_id is itself a hash).
+Three primitives cover every join in the engine; each is cap-gated by the
+caller (broadcast below ``cfg.broadcast_cap``, these above it):
+
+- ``sharded_key_refs`` + ``filter_by_key_shards`` — semi/anti join of a
+  WIDE dataset against a key set, without shuffling the wide side and
+  without ever holding the full key set on the driver: keys are
+  bucket-sorted (a tiny-row shuffle), streamed bucket-at-a-time through
+  the driver, and ``ray.put`` as per-bucket sorted shards; each wide-side
+  task probes only its rows' buckets.  Driver peak memory = ONE shard
+  (``n_keys / buckets`` ids), not the key set.
+- ``bucketed_enrich`` — payload gather (the lookup join): left and right
+  are tagged, unioned, and shuffled ONCE on ``hash(key) % buckets``; each
+  bucket matches left rows to right payload with a vectorized sorted-array
+  probe.  No driver-side materialization of either side.
+- ``lookup_join`` — the (key -> value) map join used by cluster
+  assignment: broadcast when the map fits ``cap`` (one ``ray.put``,
+  vectorized gather per batch), ``bucketed_enrich`` above it.  Missing
+  keys default to the key itself (the singleton-maps-to-self semantic).
+
+Group size under ``bucketed_enrich`` is ``n / buckets`` by uniform hash
+(doc_id is itself a hash), so key skew cannot blow up one reducer.
 """
 
 from __future__ import annotations
@@ -14,24 +32,87 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .bucketing import BUCKET_COL, bucket_of_ints, grouped_map
 
-def _bucket_col(ids: np.ndarray, buckets: int) -> np.ndarray:
-    return (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            >> np.uint64(40)).astype(np.int64) % buckets
+_JK = "__jk__"
+_SIDE = "__side__"
 
 
-def bucketed_semi_join(ds, key_values: np.ndarray, key_col: str,
-                       buckets: int):
-    """``ds`` rows whose ``key_col`` is in ``key_values`` — key set sharded
-    into per-bucket object-store refs so each task reads only its shard."""
-    key_values = np.sort(np.asarray(key_values, dtype=np.int64))
-    kb = _bucket_col(key_values, buckets)
-    shard_refs = {b: ray.put(key_values[kb == b]) for b in range(buckets)}
+def _arrow_schema(ds) -> tuple:
+    """(ds, pa.Schema) — converts pandas-block datasets to Arrow blocks
+    first (schema-driven union building needs real Arrow types)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if not isinstance(base, pa.Schema):
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", sch)
+    return ds, base
+
+
+# --------------------------------------------------------------------------
+# semi / anti join by key shards (wide side never shuffles)
+# --------------------------------------------------------------------------
+
+def sharded_key_refs(keys_ds, key_col: str, buckets: int) -> list:
+    """Distinct int64 keys of ``keys_ds`` -> per-bucket sorted uint-hash
+    shards in the object store; returns ``[ObjectRef] * buckets``.
+
+    Keys are bucket-tagged and sorted by bucket (a shuffle of TINY rows
+    only), then streamed through the driver in bucket order — the driver
+    holds one bucket's keys at a time, never the full set.
+    """
+    def _tag(t: pa.Table) -> pa.Table:
+        v = t.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(v.astype(np.int64), pa.int64()),
+            "b": pa.array(bucket_of_ints(v, buckets), pa.int64())})
+
+    tagged = keys_ds.map_batches(_tag, batch_format="pyarrow")
+    refs = [None] * buckets
+    if buckets == 1:
+        parts = [t.column("k").to_numpy(zero_copy_only=False)
+                 for t in tagged.iter_batches(batch_size=1 << 20,
+                                              batch_format="pyarrow")]
+        allk = (np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, np.int64))
+        refs[0] = ray.put(allk)
+        return refs
+
+    cur_b, cur_parts = None, []
+
+    def _flush():
+        nonlocal cur_b, cur_parts
+        if cur_b is not None:
+            refs[cur_b] = ray.put(np.unique(np.concatenate(cur_parts)))
+        cur_b, cur_parts = None, []
+
+    for t in tagged.sort("b").iter_batches(batch_size=1 << 20,
+                                           batch_format="pyarrow"):
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        for bb in np.unique(b):
+            seg = k[b == bb]
+            if cur_b is not None and bb != cur_b:
+                _flush()
+            cur_b = int(bb)
+            cur_parts.append(seg.astype(np.int64, copy=True))
+    _flush()
+    empty = ray.put(np.empty(0, np.int64))
+    return [r if r is not None else empty for r in refs]
+
+
+def filter_by_key_shards(ds, key_col: str, shard_refs: list,
+                         invert: bool = False):
+    """Keep (or drop, ``invert=True``) rows whose ``key_col`` appears in the
+    sharded key set — in place, no shuffle of ``ds``."""
+    buckets = len(shard_refs)
 
     def _filter(batch: pa.Table) -> pa.Table:
-        d = batch.column(key_col).to_numpy()
-        db = _bucket_col(d, buckets)
+        d = batch.column(key_col).to_numpy(zero_copy_only=False)
         mask = np.zeros(len(d), dtype=bool)
+        db = (bucket_of_ints(d, buckets) if buckets > 1
+              else np.zeros(len(d), dtype=np.int64))
         for b in np.unique(db):
             shard = ray.get(shard_refs[int(b)])
             if len(shard) == 0:
@@ -39,10 +120,145 @@ def bucketed_semi_join(ds, key_values: np.ndarray, key_col: str,
             sel = db == b
             pos = np.minimum(np.searchsorted(shard, d[sel]), len(shard) - 1)
             mask[sel] = shard[pos] == d[sel]
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(~mask if invert else mask))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 
+
+def semi_join_keys(ds, key_col: str, keys_ds, keys_col: str,
+                   cfg, invert: bool = False, n_keys: int | None = None):
+    """Cap-gated semi/anti join of ``ds`` against the keys of ``keys_ds``.
+
+    ``n_keys`` (if already known) avoids a count pass; the bucket count is
+    1 (single broadcast shard) below ``cfg.broadcast_cap`` and
+    ``cfg.join_buckets`` above — driver memory stays one shard either way.
+    """
+    if n_keys is None:
+        n_keys = keys_ds.count()
+    buckets = 1 if n_keys <= cfg.broadcast_cap else cfg.join_buckets
+    refs = sharded_key_refs(keys_ds, keys_col, buckets)
+    return filter_by_key_shards(ds, key_col, refs, invert=invert)
+
+
+# --------------------------------------------------------------------------
+# bucketed payload gather (the lookup join that never broadcasts)
+# --------------------------------------------------------------------------
+
+def bucketed_enrich(left_ds, left_key: str, right_ds, right_key: str,
+                    payload: dict, buckets: int = 64):
+    """Append right-side ``payload`` columns ({right_name: out_name}) onto
+    left rows by key equality via ONE tagged-union bucketed shuffle.
+
+    Right keys must be unique (mapping semantics; first match wins
+    otherwise).  Left rows with no match get nulls.  Neither side is ever
+    collected; per-bucket work is a vectorized sorted-array probe + Arrow
+    ``take``.
+    """
+    left_ds, lsch = _arrow_schema(left_ds)
+    right_ds, rsch = _arrow_schema(right_ds)
+    left_names = list(lsch.names)
+    out_names = list(payload.values())
+    right_names = list(payload.keys())
+    out_types = {payload[rn]: rsch.field(rn).type for rn in right_names}
+    out_schema = pa.schema(
+        [lsch.field(nm) for nm in left_names]
+        + [pa.field(on, out_types[on]) for on in out_names])
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = t.column(left_key).to_numpy(zero_copy_only=False)
+        cols = {_JK: pa.array(k.astype(np.int64), pa.int64()),
+                _SIDE: pa.array(np.zeros(n, np.int8), pa.int8())}
+        for nm in left_names:
+            cols[nm] = t.column(nm)
+        for on in out_names:
+            cols[on] = pa.nulls(n, out_types[on])
+        return pa.table(cols)
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = t.column(right_key).to_numpy(zero_copy_only=False)
+        cols = {_JK: pa.array(k.astype(np.int64), pa.int64()),
+                _SIDE: pa.array(np.ones(n, np.int8), pa.int8())}
+        for nm in left_names:
+            cols[nm] = pa.nulls(n, lsch.field(nm).type)
+        for rn in right_names:
+            cols[payload[rn]] = t.column(rn)
+        return pa.table(cols)
+
+    union = (left_ds.map_batches(_tag_left, batch_format="pyarrow")
+             .union(right_ds.map_batches(_tag_right,
+                                         batch_format="pyarrow")))
+
+    def _apply(t: pa.Table) -> pa.Table:
+        side = t.column(_SIDE).to_numpy(zero_copy_only=False)
+        left = t.filter(pa.array(side == 0))
+        if left.num_rows == 0:
+            return out_schema.empty_table()
+        right = t.filter(pa.array(side == 1))
+        lk = left.column(_JK).to_numpy(zero_copy_only=False)
+        rk = right.column(_JK).to_numpy(zero_copy_only=False)
+        order = np.argsort(rk, kind="stable")
+        rk_sorted = rk[order]
+        if len(rk_sorted):
+            pos = np.minimum(np.searchsorted(rk_sorted, lk),
+                             len(rk_sorted) - 1)
+            hit = rk_sorted[pos] == lk
+            src = order[pos]
+        else:
+            hit = np.zeros(len(lk), dtype=bool)
+            src = np.zeros(len(lk), dtype=np.int64)
+        idx = pa.array(src, pa.int64(), mask=~hit)
+        cols = {nm: left.column(nm) for nm in left_names}
+        for on in out_names:
+            rc = right.column(on)
+            if isinstance(rc, pa.ChunkedArray):
+                rc = rc.combine_chunks()
+            cols[on] = (rc.take(idx) if len(rk_sorted)
+                        else pa.nulls(left.num_rows, out_types[on]))
+        return pa.table(cols, schema=out_schema)
+
+    return grouped_map(union, _JK, bucket_of_ints, _apply,
+                       num_buckets=buckets, batch_format="pyarrow")
+
+
+def lookup_join(left_ds, key_col: str, mapping_ds, map_key: str,
+                map_val: str, out_col: str, cfg,
+                n_map: int | None = None):
+    """(key -> value) map join onto ``left_ds``; missing keys map to the
+    key itself.  Broadcast below ``cfg.broadcast_cap`` map rows, one
+    ``bucketed_enrich`` shuffle above."""
+    if n_map is None:
+        n_map = mapping_ds.count()
+    if n_map <= cfg.broadcast_cap:
+        keys_ref, vals_ref, _ = broadcast_lookup_map(
+            mapping_ds, map_key, map_val, cfg.broadcast_cap)
+
+        def _join(batch: pa.Table) -> pa.Table:
+            ids = batch.column(key_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            v = apply_lookup(ids, keys_ref, vals_ref)
+            return batch.append_column(out_col, pa.array(v, pa.int64()))
+
+        return left_ds.map_batches(_join, batch_format="pyarrow")
+
+    slim = mapping_ds.select_columns([map_key, map_val])
+    joined = bucketed_enrich(left_ds, key_col, slim, map_key,
+                             {map_val: out_col}, buckets=cfg.join_buckets)
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = pc.coalesce(batch.column(out_col),
+                        pc.cast(batch.column(key_col), pa.int64()))
+        i = batch.schema.get_field_index(out_col)
+        return batch.set_column(i, out_col, pc.cast(v, pa.int64()))
+
+    return joined.map_batches(_fill, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# broadcast small-side helpers (the fast path under the cap)
+# --------------------------------------------------------------------------
 
 def broadcast_lookup_map(mapping_ds, key_col: str, val_col: str,
                          cap: int) -> tuple:
@@ -50,7 +266,9 @@ def broadcast_lookup_map(mapping_ds, key_col: str, val_col: str,
     ``ray.put`` it; returns ``(keys_ref, vals_ref, count)``.
 
     The 'small side broadcast once' pattern — e.g. cluster parent pointers
-    joined back onto the full doc table.
+    joined back onto the full doc table.  Callers must cap-gate (use
+    ``lookup_join`` for the automatic switch); exceeding ``cap`` raises to
+    catch un-gated call sites, never as a scale ceiling.
     """
     keys, vals = [], []
     for b in mapping_ds.iter_batches(batch_size=1 << 20,
@@ -62,7 +280,8 @@ def broadcast_lookup_map(mapping_ds, key_col: str, val_col: str,
     if len(k) > cap:
         raise ValueError(
             f"broadcast map of {len(k)} rows exceeds cap {cap}; "
-            "use a bucketed join for this stage at this scale")
+            "call through lookup_join() which switches to the bucketed "
+            "join automatically")
     order = np.argsort(k, kind="stable")
     return ray.put(k[order]), ray.put(v[order]), len(k)
 
@@ -80,3 +299,17 @@ def apply_lookup(batch_ids: np.ndarray, keys_ref, vals_ref,
     hit = keys[pos] == batch_ids
     out[hit] = vals[pos[hit]]
     return out
+
+
+def bucketed_semi_join(ds, key_values: np.ndarray, key_col: str,
+                       buckets: int):
+    """``ds`` rows whose ``key_col`` is in the (driver-resident) array
+    ``key_values`` — retained for callers that already hold the ids; the
+    streaming variant is ``semi_join_keys``."""
+    key_values = np.unique(np.asarray(key_values, dtype=np.int64))
+    if buckets <= 1:
+        refs = [ray.put(key_values)]
+    else:
+        kb = bucket_of_ints(key_values, buckets)
+        refs = [ray.put(key_values[kb == b]) for b in range(buckets)]
+    return filter_by_key_shards(ds, key_col, refs)
