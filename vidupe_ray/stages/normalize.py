@@ -54,32 +54,55 @@ def batch_doc_ids(batch: pa.Table) -> np.ndarray:
 
 
 def normalize_batch(batch: pa.Table, cfg: PipelineConfig | None = None,
-                    emit_canonical: bool = False) -> pa.Table:
-    """Vectorized-per-batch normalize; the only per-row Python is hashlib
-    (C-speed) and the canonicalize regex (C-speed)."""
-    content = batch.column("content").to_pylist()
-    n = len(content)
+                    emit_canonical: bool = False,
+                    impl: str = "bytes") -> pa.Table:
+    """Batch normalize with two bit-identical implementations:
+
+    - ``impl="bytes"`` (default, the hot path): byte-level vectorized
+      canonicalization over the Arrow buffer + sha256 of buffer slices —
+      zero Python strings (``functions/bytetext.py``; property-tested
+      equal to the string path in ``tests/test_bytetext.py`` and
+      ``test_normalize_impls_identical``).
+    - ``impl="python"`` — the per-row string implementation, kept as the
+      readable oracle twin.
+    """
+    n = batch.num_rows
     doc_ids = batch_doc_ids(batch)
 
-    sha_raw = np.empty(n, dtype=object)
-    sha_canon = np.empty(n, dtype=object)
-    canon = np.empty(n, dtype=object)
-    n_bytes = np.empty(n, dtype=np.int64)
-    n_lines = np.empty(n, dtype=np.int64)
-    status = np.empty(n, dtype=object)
-    for i, text in enumerate(content):
-        text = text if text is not None else ""
-        raw_b = text.encode("utf-8", "surrogatepass")
-        sha_raw[i] = hashlib.sha256(raw_b).hexdigest()
-        c = canonicalize(text)
-        canon[i] = c
-        # most source files are already canonical: reuse the raw digest
-        # instead of hashing the same bytes twice
-        sha_canon[i] = (sha_raw[i] if c == text else hashlib.sha256(
-            c.encode("utf-8", "surrogatepass")).hexdigest())
-        n_bytes[i] = len(raw_b)
-        n_lines[i] = c.count("\n") + 1 if c else 0
-        status[i] = STATUS_OK if c else STATUS_EMPTY
+    if impl == "bytes":
+        from ..functions import bytetext as BT
+        col = batch.column("content")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = BT.normalize_hashes(col, return_canonical=emit_canonical)
+        sha_raw = h["sha256"]
+        sha_canon = h["sha256_canon"]
+        n_bytes = h["n_bytes"]
+        n_lines = h["n_lines"]
+        status = np.where(h["status"] == "ok", STATUS_OK, STATUS_EMPTY)
+        canon_col = h.get("content_canon")
+    else:
+        content = batch.column("content").to_pylist()
+        sha_raw = np.empty(n, dtype=object)
+        sha_canon = np.empty(n, dtype=object)
+        canon = np.empty(n, dtype=object)
+        n_bytes = np.empty(n, dtype=np.int64)
+        n_lines = np.empty(n, dtype=np.int64)
+        status = np.empty(n, dtype=object)
+        for i, text in enumerate(content):
+            text = text if text is not None else ""
+            raw_b = text.encode("utf-8", "surrogatepass")
+            sha_raw[i] = hashlib.sha256(raw_b).hexdigest()
+            c = canonicalize(text)
+            canon[i] = c
+            # already-canonical files reuse the raw digest
+            sha_canon[i] = (sha_raw[i] if c == text else hashlib.sha256(
+                c.encode("utf-8", "surrogatepass")).hexdigest())
+            n_bytes[i] = len(raw_b)
+            n_lines[i] = c.count("\n") + 1 if c else 0
+            status[i] = STATUS_OK if c else STATUS_EMPTY
+        canon_col = pa.array(canon, pa.large_string()) \
+            if emit_canonical else None
 
     cols = {
         "repo": batch.column("repo") if "repo" in batch.column_names
@@ -93,12 +116,12 @@ def normalize_batch(batch: pa.Table, cfg: PipelineConfig | None = None,
         "doc_id": pa.array(doc_ids, pa.int64()),
         "sha256": pa.array(sha_raw, pa.string()),
         "sha256_canon": pa.array(sha_canon, pa.string()),
-        "n_bytes": pa.array(n_bytes, pa.int64()),
-        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_bytes": pa.array(np.asarray(n_bytes, np.int64), pa.int64()),
+        "n_lines": pa.array(np.asarray(n_lines, np.int64), pa.int64()),
         "status": pa.array(status, pa.string()),
     }
     if emit_canonical:
-        cols["content_canon"] = pa.array(canon, pa.string())
+        cols["content_canon"] = canon_col
     return pa.table(cols)
 
 
