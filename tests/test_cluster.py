@@ -77,3 +77,31 @@ def test_empty_edges(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                       "b": pd.Series([], dtype="int64")}))
     assert connected_components(ds).count() == 0
+
+
+def test_non_convergence_falls_back_to_exact(ray_session):
+    """ADVICE r1: exhausting max_rounds must never silently emit
+    intermediate labels — the residual graph is finished exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from vidupe_ray.stages.cluster import (connected_components,
+                                           _driver_union_find)
+    rng = np.random.RandomState(11)
+    # long chains converge slowly: 40 chains of length 60
+    a, b = [], []
+    for c in range(40):
+        base = c * 1000
+        ids = base + np.arange(60)
+        a.extend(ids[:-1]); b.extend(ids[1:])
+    df = pd.DataFrame({"a": np.array(a, np.int64),
+                       "b": np.array(b, np.int64)})
+    edges = rd.from_pandas(df)
+    got = (connected_components(edges, max_rounds=1,
+                                small_graph_threshold=0)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = (_driver_union_find(rd.from_pandas(df))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # every chain must map to its minimum id
+    assert set(got["cluster_id"]) == {c * 1000 for c in range(40)}

@@ -90,36 +90,37 @@ def _drop_self_loops(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _driver_union_find(edges_ds) -> "rd.Dataset":
-    """Small-graph fast path: collect the (tiny) edge list and run
-    path-compressed union-find in one process.  Identical output contract
-    (min-doc_id roots) as the distributed rounds."""
-    import numpy as np
+    """Small-graph fast path: collect the (tiny) edge list and solve it
+    with vectorized min-label propagation + pointer jumping — no per-edge
+    Python (2M dict-find iterations cost seconds; this is ~100 ms).
+    Identical output contract (min-doc_id roots) as the distributed
+    rounds."""
     parts = [b for b in edges_ds.iter_batches(batch_size=1 << 20,
                                               batch_format="pandas")]
     df = (pd.concat(parts, ignore_index=True) if parts
           else pd.DataFrame({"a": [], "b": []}, dtype="int64"))
-    parent = {}
-
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != r:
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    rows = {n: find(n) for n in parent}
-    out = pd.DataFrame({"doc_id": list(rows.keys()),
-                        "cluster_id": list(rows.values())})
+    if not len(df):
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cluster_id": pd.Series([], dtype="int64")}))
+    a = df["a"].to_numpy(np.int64)
+    b = df["b"].to_numpy(np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[:len(a)], inv[len(a):]
+    # ids are sorted, so min label index == min doc_id in the component
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        old = lab
+        lab = lab.copy()
+        np.minimum.at(lab, ea, lab[eb])
+        np.minimum.at(lab, eb, lab[ea])
+        lab = np.minimum(lab, lab[lab])     # pointer jump (compress)
+        lab = lab[lab]
+        if np.array_equal(lab, old):
+            break
+    out = pd.DataFrame({"doc_id": ids, "cluster_id": ids[lab]})
     out = out[out["doc_id"] != out["cluster_id"]]
-    return rd.from_pandas(out.astype("int64") if len(out) else pd.DataFrame(
-        {"doc_id": pd.Series([], dtype="int64"),
-         "cluster_id": pd.Series([], dtype="int64")}))
+    return rd.from_pandas(out.reset_index(drop=True))
 
 
 def connected_components(edges_ds, max_rounds: int = 25,
@@ -146,6 +147,7 @@ def connected_components(edges_ds, max_rounds: int = 25,
         return _driver_union_find(edges)
     prev = _edge_checksum(edges)
     rounds = 0
+    converged = False
     while rounds < max_rounds:
         ls = B.grouped_map(
             edges.map_batches(_both_directions, batch_format="pandas"),
@@ -160,8 +162,19 @@ def connected_components(edges_ds, max_rounds: int = 25,
         cur = _edge_checksum(edges)
         rounds += 1
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # never emit intermediate (non-root) labels silently (ADVICE r1):
+        # the residual graph is already star-compressed and far smaller
+        # than the input — finish it exactly on the driver
+        import logging
+        logging.getLogger(__name__).warning(
+            "connected_components: no fixpoint after %d rounds; "
+            "finishing the residual graph (%d edges) with driver "
+            "union-find", max_rounds, edges.count())
+        return _driver_union_find(edges)
 
     # at fixpoint every edge is (member, root); orient and reduce to the
     # min root per member defensively (one more tiny bucketed pass)
