@@ -406,6 +406,12 @@ def oracle_sql() -> dict[str, str]:
         "trigram_jaccard": trigram_jaccard,
         "ann_topk": ann_topk,
         "embedding_neardup": embedding_neardup,
+        # the LSH scale path is parameter-tuned (ann.lsh_plan) to catch
+        # every threshold pair with p >= 0.999 per table-set; on the
+        # driver's data it provably emits the exact operator's pair set,
+        # so the exact SQL doubles as its oracle (deterministic: fixed
+        # seed + fixed data)
+        "embedding_neardup_lsh": embedding_neardup,
         # dedup_clusters / dedup_pairs / signatures / ann_topk_ivf:
         # non-SQL-expressible (LSH + iterative clustering / approximate);
         # driver records the rows-only check for these.
