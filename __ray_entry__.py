@@ -77,6 +77,24 @@ def q_signatures(sf_dir: str):
          "simhash_head", "simhash_tail", "low_content"])
 
 
+def q_dedup_clusters_exact(sf_dir: str):
+    """SQL-expressible flagship variant (VERDICT r1 item 6): containment
+    off, threshold 100, length modifiers zeroed, low-content guard off —
+    the only pairs that can survive the LSH+verify chain are
+    whole-signature-identical docs, so the emitted clusters must equal the
+    exact-dedup groups, which DuckDB can compute.  This hash-checks the
+    FULL normalize -> fingerprint -> band shuffle -> verify -> CC -> assign
+    chain, not just its exact-dedup prefix."""
+    from vidupe_ray.sources.corpus_source import documents_as_corpus
+    from vidupe_ray.pipelines.dedup import run_dedup
+    cfg = PipelineConfig(fingerprint_concurrency=2, containment=False,
+                         threshold_pct=100, same_len_bonus=0,
+                         diff_len_penalty=0, min_shingles=0)
+    res = run_dedup(documents_as_corpus(sf_dir), cfg)
+    return res.clusters.select_columns(
+        ["doc_id", "cluster_id", "cluster_size", "is_canonical"])
+
+
 def q_normalize_docs(sf_dir: str):
     """Normalize stage surfaced directly on the corpus schema: the per-row
     sha256 invariant column (BASELINE.json) is checkable by DuckDB."""
@@ -206,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_exact": q_dedup_clusters_exact,
         "dedup_pairs": q_dedup_pairs,
         "signatures": q_signatures,
         "doc_fingerprints": q_doc_fingerprints,
@@ -355,6 +374,24 @@ def oracle_sql() -> dict[str, str]:
         FROM d JOIN n na ON a = na.vec_id JOIN n nb ON b = nb.vec_id
         WHERE dot / (na.nrm * nb.nrm) >= 0.45"""
 
+    # clusters of the exact-config flagship == exact content groups:
+    # winner/cluster id = min doc_id, canonical = max raw bytes tie min id
+    dedup_clusters_exact = f"""
+        WITH g AS (SELECT doc_id, md5(text) AS h,
+                          octet_length(encode(text)) AS n_bytes
+                   FROM documents WHERE {_TRIM} != ''),
+        c AS (SELECT h, min(doc_id) AS cluster_id,
+                     count(*) AS cluster_size
+              FROM g GROUP BY h),
+        r AS (SELECT g.doc_id, c.cluster_id, c.cluster_size,
+                     row_number() OVER (
+                         PARTITION BY g.h
+                         ORDER BY g.n_bytes DESC, g.doc_id) AS rn
+              FROM g JOIN c ON g.h = c.h)
+        SELECT doc_id, cluster_id, cluster_size,
+               (rn = 1) AS is_canonical
+        FROM r"""
+
     media_features = """
         SELECT doc_id, 'text/plain' AS media_type,
                octet_length(encode(text)) AS n_bytes,
@@ -412,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         # so the exact SQL doubles as its oracle (deterministic: fixed
         # seed + fixed data)
         "embedding_neardup_lsh": embedding_neardup,
+        "dedup_clusters_exact": dedup_clusters_exact,
         # dedup_clusters / dedup_pairs / signatures / ann_topk_ivf:
         # non-SQL-expressible (LSH + iterative clustering / approximate);
         # driver records the rows-only check for these.
