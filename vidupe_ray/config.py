@@ -83,12 +83,16 @@ class PipelineConfig:
                                   # bucket; larger groups fall back to the
                                   # hot_group_strategy (explicit skew handling;
                                   # drops are logged, never silent)
-    hot_group_strategy: str = "ring"  # "ring" (sorted ring-linking, ~cap^2
-                                  # comparisons/group, connectivity-preserving) |
-                                  # "salt" (SURVEY §2.5 J1: split the group by
-                                  # hash(doc_id) into ~cap-sized salt subgroups,
-                                  # all-pairs within each + cross-salt sampling —
-                                  # ~g*cap comparisons, better pair-level recall)
+    hot_group_strategy: str = "salt"  # "salt" (SURVEY §2.5 J1, default: split the
+                                  # group by hash(doc_id) into ~cap-sized salt
+                                  # subgroups, all-pairs within each + cross-salt
+                                  # sampling — ~g*cap comparisons; measured
+                                  # pair-level recall 0.44 vs ring's 0.12 on a
+                                  # 120-member hot group at cap=16, identical
+                                  # clusters) | "ring" (sorted ring-linking,
+                                  # ~cap^2 comparisons/group — the cheaper
+                                  # fallback when pair enumeration inside hot
+                                  # groups doesn't matter)
     broadcast_cap: int = 2_000_000  # max ids for driver-side broadcast joins; above
                                     # this the bucketed shuffle join path is used
     broadcast_bytes_cap: int = 1 << 30  # max cumulative payload bytes for a

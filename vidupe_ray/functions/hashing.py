@@ -206,14 +206,12 @@ def shingles_from_tokens(token_hashes: np.ndarray, offsets: np.ndarray,
     acc = np.zeros(N - k + 1, dtype=U64)
     for i in range(k):
         acc += coeffs[i] * token_hashes[i:N - k + 1 + i]
-    # select only windows fully inside one doc
-    out = np.empty(total, dtype=U64)
-    for d in range(ndocs):
-        m = n_sh[d]
-        if m:
-            s = offsets[d]
-            out[sh_offsets[d]:sh_offsets[d + 1]] = acc[s:s + m]
-    return mix64(out), sh_offsets
+    # select only windows fully inside one doc — ragged-arange gather
+    # (one fancy-index instead of a per-doc Python copy loop)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        sh_offsets[:-1], n_sh)
+    idx = np.repeat(offsets[:-1], n_sh) + within
+    return mix64(acc[idx]), sh_offsets
 
 
 def make_perm_params(num_perms: int, seed: int) -> tuple:
@@ -452,19 +450,33 @@ def bottom_k_distinct(sh: np.ndarray, sh_offsets: np.ndarray,
     ready for zero-copy Arrow assembly.
     """
     ndocs = len(sh_offsets) - 1
-    vals = []
-    counts = np.zeros(ndocs, dtype=np.int64)
-    for d in range(ndocs):
-        seg = sh[sh_offsets[d]:sh_offsets[d + 1]]
-        if len(seg) == 0:
-            continue
-        if len(seg) > 4 * k:
-            # partial-select before the (small) unique
-            seg = np.partition(seg, min(4 * k, len(seg) - 1))[:4 * k]
-        u = np.unique(seg)[:k]       # sorted ascending
-        counts[d] = len(u)
-        vals.append(u)
-    values = (np.concatenate(vals) if vals else np.empty(0, dtype=U64))
+    n = len(sh)
+    if n == 0 or ndocs == 0:
+        return (np.empty(0, dtype=U64),
+                np.zeros(ndocs + 1, dtype=np.int64))
+    # one batch-wide lexsort replaces the per-doc partition/unique loop:
+    # sort by (doc, value), mark within-doc first occurrences, rank them
+    # with a segment-reset cumsum, keep rank <= k
+    seg_counts = np.diff(sh_offsets).astype(np.int64)
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), seg_counts)
+    order = np.lexsort((sh, doc_idx))
+    sv = sh[order]
+    sd = doc_idx[order]
+    new_doc = np.empty(n, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = sd[1:] != sd[:-1]
+    distinct = np.empty(n, dtype=bool)
+    distinct[0] = True
+    distinct[1:] = new_doc[1:] | (sv[1:] != sv[:-1])
+    dcum = np.cumsum(distinct)
+    doc_start = np.flatnonzero(new_doc)
+    # distinct-rank within doc = dcum - (distinct count before doc start)
+    base = np.repeat(dcum[doc_start] - 1, np.diff(
+        np.concatenate([doc_start, [n]])))
+    rank = dcum - base
+    keep = distinct & (rank <= k)
+    values = sv[keep]                 # ascending within each doc
+    counts = np.bincount(sd[keep], minlength=ndocs)
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     return values, offsets
 

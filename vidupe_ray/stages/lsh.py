@@ -180,7 +180,9 @@ class BucketVerifier:
 
         tables = []
         # ---- band channel: Hamming slot gate ----------------------------
-        i_idx, j_idx, _ = B.segment_pairs(band_off, cfg.band_group_cap)
+        i_idx, j_idx, _ = B.segment_pairs(band_off, cfg.band_group_cap,
+                                          strategy=cfg.hot_group_strategy,
+                                          salt_ids=doc_id)
         if len(i_idx):
             gsz = _pair_group_sizes(band_off, i_idx)
             r = S.slot_gate(head[i_idx], head[j_idx],
@@ -196,7 +198,9 @@ class BucketVerifier:
         # hot-anchor skip: see cfg.hot_anchor_cap
         sizes = anch_off[:, 1] - anch_off[:, 0]
         anch_off = anch_off[sizes <= cfg.hot_anchor_cap]
-        i_idx, j_idx, _ = B.segment_pairs(anch_off, cfg.band_group_cap)
+        i_idx, j_idx, _ = B.segment_pairs(anch_off, cfg.band_group_cap,
+                                          strategy=cfg.hot_group_strategy,
+                                          salt_ids=doc_id)
         if len(i_idx):
             gsz = _pair_group_sizes(anch_off, i_idx)
             # rows are size-sorted within segments: i = smaller side

@@ -70,12 +70,24 @@ def segment_boundaries(sorted_keys: np.ndarray) -> np.ndarray:
     return np.concatenate([[0], change, [n]]).astype(np.int64)
 
 
-def segment_pairs(segments: np.ndarray, cap: int) -> tuple:
+def segment_pairs(segments: np.ndarray, cap: int,
+                  strategy: str = "ring",
+                  salt_ids: np.ndarray | None = None) -> tuple:
     """All within-segment index pairs (i < j) for a (k, 2) array of
-    [start, end) segments, vectorized per segment; segments larger than
-    ``cap`` use ring-linking with a window keeping ~cap^2 comparisons
-    (hot-group skew control — the returned ``capped`` mask lets the caller
-    count drops; never silent)."""
+    [start, end) segments, vectorized per segment.  Hot groups (> ``cap``
+    members) never emit all g^2/2 pairs; the ``capped`` mask lets the
+    caller count drops — never silent.  Two skew strategies:
+
+    - ``ring``: sorted ring-linking with a window keeping ~cap^2
+      comparisons per group regardless of g.
+    - ``salt`` (SURVEY §2.5 J1): split the group into S = ceil(g/cap)
+      subgroups by ``hash(salt_ids) % S``, all-pairs within each subgroup
+      (~g*cap/2 comparisons) plus cross-salt sampling — element i of
+      subgroup s pairs with element i of subgroup s+1 — so connectivity
+      spans salts and pair-level recall inside hot groups is higher than
+      ring at the cost of cap x more comparisons.  Deterministic: the
+      subgroup of a row depends only on its id, never on block order.
+    """
     i_parts, j_parts = [], []
     capped = np.zeros(len(segments), dtype=bool)
     for s in range(len(segments)):
@@ -85,6 +97,39 @@ def segment_pairs(segments: np.ndarray, cap: int) -> tuple:
             continue
         if g <= cap:
             i, j = np.triu_indices(g, k=1)
+        elif strategy == "salt" and salt_ids is not None:
+            capped[s] = True
+            S = -(-g // cap)
+            sub = bucket_of_ints(salt_ids[lo:hi], S)
+            order = np.argsort(sub, kind="stable")
+            sub_sorted = sub[order]
+            bnd = segment_boundaries(sub_sorted)
+            ii, jj = [], []
+            for t in range(len(bnd) - 1):
+                a0, a1 = int(bnd[t]), int(bnd[t + 1])
+                m = a1 - a0
+                if m >= 2:
+                    ti, tj = np.triu_indices(m, k=1)
+                    ii.append(order[a0 + ti])
+                    jj.append(order[a0 + tj])
+                # cross-salt sample: element r of this subgroup with
+                # element r of the next one
+                if t + 1 < len(bnd) - 1:
+                    b0, b1 = int(bnd[t + 1]), int(bnd[t + 2])
+                    r = min(a1 - a0, b1 - b0)
+                    if r:
+                        ii.append(order[a0:a0 + r])
+                        jj.append(order[b0:b0 + r])
+            if not ii:
+                continue
+            i = np.concatenate(ii)
+            j = np.concatenate(jj)
+            # keep positional order (anchor channel relies on i = the
+            # size-sorted smaller side)
+            swap = i > j
+            i2 = np.where(swap, j, i)
+            j = np.where(swap, i, j)
+            i = i2
         else:
             capped[s] = True
             w = max(1, (cap * cap) // g)
