@@ -187,3 +187,22 @@ def test_containment_bytes_cap_forces_bucketed_content_join(ray_session):
     pd.testing.assert_frame_equal(_cluster_frame(res_b),
                                   _cluster_frame(res_t))
     assert _pair_set(res_b) == _pair_set(res_t)
+
+
+def test_pin_corpus_auto_gate(ray_session, tmp_path):
+    """pin_corpus=None sizes the decision to the object store: in-memory
+    corpora pin (free), corpora estimated over the capacity fraction do
+    not (the 100 TB posture)."""
+    import ray.data as rd
+    from vidupe_ray.corpus import generate_corpus, write_corpus
+    corpus, _ = generate_corpus(200, seed=3)
+    res = run_dedup(rd.from_arrow(corpus),
+                    PipelineConfig(containment=False))
+    assert res.metrics["pin_corpus_auto"] is True      # resident data
+
+    cdir = write_corpus(str(tmp_path / "c"), 200, seed=3)
+    res2 = run_dedup(rd.read_parquet(cdir),
+                     PipelineConfig(containment=False,
+                                    pin_corpus_fraction=0.0))
+    assert res2.metrics["pin_corpus_auto"] is False    # over the fraction
+    assert res2.metrics["corpus_bytes_estimate"] > 0
