@@ -125,6 +125,7 @@ def run_bench() -> dict:
         "n_docs": n_docs,
         "files_per_sec": round(n_docs / headline, 1),
         "n_clusters": n_clusters,
+        "shuffle_bytes": res.metrics.get("shuffle_bytes", {}),
     }
     ray.shutdown()
     return result

@@ -44,87 +44,100 @@ def _string_parts(arr) -> tuple:
     return data[lo:offs[-1]], offs - lo, ndocs
 
 
+def _doc_counts(mask: np.ndarray, doc_off: np.ndarray) -> np.ndarray:
+    """Kept-byte count per doc: prefix-sum difference (empty-doc safe,
+    no reduceat duplicate-index pitfalls).  One int32 temp."""
+    csum = np.cumsum(mask, dtype=np.int32)
+    s = np.concatenate([[0], csum])
+    return (s[doc_off[1:]] - s[doc_off[:-1]]).astype(np.int64)
+
+
 def canonical_bytes(arr) -> tuple:
     """Arrow string array -> (canon_bytes: uint8[N'], canon_offsets,
-    raw_offsets, raw_bytes) with canon == canonicalize(text).encode()."""
+    raw_offsets, raw_bytes) with canon == canonicalize(text).encode().
+
+    DRAM-budget note: everything runs by boolean COMPRESSION (``a[mask]``)
+    and small-dtype prefix sums — no int64 index arrays, no searchsorted
+    over the byte space.  The first version materialized three 8x-sized
+    ``flatnonzero`` index arrays plus per-step ``searchsorted`` passes and
+    anti-scaled exactly like the simhash prefix matrix did in round 1
+    (memory-bound box; see BASELINE.md).
+    """
     b, doc_off, ndocs = _string_parts(arr)
     n = len(b)
     if n == 0:
         z = np.zeros(ndocs + 1, dtype=np.int64)
         return np.empty(0, np.uint8), z, doc_off, b
 
-    is_doc_start = np.zeros(n + 1, dtype=bool)
-    is_doc_start[doc_off[:-1][doc_off[:-1] < n]] = True
-
     # --- step 1: CRLF/CR -> LF ------------------------------------------
     work = b.copy()
-    keep = np.ones(n, dtype=bool)
     cr = work == _CR
-    nxt_lf = np.zeros(n, dtype=bool)
-    nxt_lf[:-1] = work[1:] == _LF
+    nxt_lf = np.empty(n, dtype=bool)
+    nxt_lf[-1] = False
+    np.equal(work[1:], _LF, out=nxt_lf[:-1])
     # a CR directly before an LF *within the same doc* is dropped
-    last_of_doc = np.zeros(n, dtype=bool)
     ends = doc_off[1:] - 1
+    last_of_doc = np.zeros(n, dtype=bool)
     last_of_doc[ends[ends >= 0]] = True
     drop_cr = cr & nxt_lf & ~last_of_doc
-    keep[drop_cr] = False
-    work[cr & ~drop_cr] = _LF                 # lone CR -> LF
+    keep = ~drop_cr
+    work[cr & keep] = _LF                     # lone CR -> LF
 
     # --- step 2: collapse horizontal-ws runs to one space ----------------
-    hws = _HWS[work] & keep
-    prev_hws = np.zeros(n, dtype=bool)
+    hws = _HWS[work]
+    hws &= keep
+    prev_hws = np.empty(n, dtype=bool)
+    prev_hws[0] = False
     prev_hws[1:] = hws[:-1]
     start_of_doc = np.zeros(n, dtype=bool)
     start_of_doc[doc_off[:-1][doc_off[:-1] < n]] = True
     run_start = hws & (~prev_hws | start_of_doc)
-    keep[hws & ~run_start] = False
+    keep &= ~(hws & ~run_start)
     work[run_start] = _SP
 
-    # --- step 3: strip spaces at line edges ------------------------------
-    # operate in "kept space": for each kept byte, its kept neighbours
-    kept_idx = np.flatnonzero(keep)
-    ks = work[kept_idx]
-    kdoc = np.searchsorted(doc_off[1:], kept_idx, side="right")
-    m = len(kept_idx)
-    prev_ch = np.full(m, _LF, dtype=np.uint8)      # doc start acts like LF
-    prev_ch[1:] = ks[:-1]
-    prev_same = np.zeros(m, dtype=bool)
-    prev_same[1:] = kdoc[1:] == kdoc[:-1]
-    prev_ch[~prev_same] = _LF
-    next_ch = np.full(m, _LF, dtype=np.uint8)      # doc end acts like LF
-    next_ch[:-1] = ks[1:]
-    next_same = np.zeros(m, dtype=bool)
-    next_same[:-1] = kdoc[:-1] == kdoc[1:]
-    next_ch[~next_same] = _LF
-    edge_space = (ks == _SP) & ((prev_ch == _LF) | (next_ch == _LF))
-    keep[kept_idx[edge_space]] = False
+    # --- compress 1 ------------------------------------------------------
+    counts1 = _doc_counts(keep, doc_off)
+    ks = work[keep]
+    m = len(ks)
+    off1 = np.concatenate([[0], np.cumsum(counts1)]).astype(np.int64)
 
-    # --- step 4: drop trailing newline runs ------------------------------
-    kept_idx = np.flatnonzero(keep)
-    ks = work[kept_idx]
-    kdoc = np.searchsorted(doc_off[1:], kept_idx, side="right")
-    m = len(kept_idx)
-    if m:
-        # last kept non-LF position per doc
-        nonlf = ks != _LF
-        pos_or_neg = np.where(nonlf, np.arange(m), -1)
+    # --- step 3: strip spaces at line edges (compressed space) -----------
+    new_doc = np.zeros(m, dtype=bool)
+    new_doc[off1[:-1][counts1 > 0]] = True
+    is_sp = ks == _SP
+    prev_lf = np.empty(m, dtype=bool)
+    prev_lf[0] = True
+    np.equal(ks[:-1], _LF, out=prev_lf[1:])
+    prev_lf |= new_doc                        # doc start acts like LF
+    next_lf = np.empty(m, dtype=bool)
+    next_lf[-1] = True
+    np.equal(ks[1:], _LF, out=next_lf[:-1])
+    next_lf[:-1] |= new_doc[1:]               # doc end acts like LF
+    keep2 = ~(is_sp & (prev_lf | next_lf))
+
+    counts2 = _doc_counts(keep2, off1)
+    ks2 = ks[keep2]
+    m2 = len(ks2)
+    off2 = np.concatenate([[0], np.cumsum(counts2)]).astype(np.int64)
+
+    # --- step 4: drop trailing newline runs (compressed space) -----------
+    if m2:
+        is_lf = ks2 == _LF
+        pos = np.arange(m2, dtype=np.int64)
+        pos_or_neg = np.where(is_lf, np.int64(-1), pos)
         last_nonlf = np.full(ndocs, -1, dtype=np.int64)
-        kdoc_starts = np.searchsorted(kdoc, np.arange(ndocs))
-        # reduceat needs indices < m; guard empty-tail docs
-        valid = kdoc_starts < m
-        if valid.any():
-            red = np.maximum.reduceat(pos_or_neg, kdoc_starts[valid])
-            # reduceat over trailing equal starts duplicates — recompute
-            # properly per doc via boundaries
-            last_nonlf[valid] = red
-        trailing = (ks == _LF) & (np.arange(m) > last_nonlf[kdoc])
-        keep[kept_idx[trailing]] = False
+        live = counts2 > 0
+        if live.any():
+            last_nonlf[live] = np.maximum.reduceat(
+                pos_or_neg, off2[:-1][live])
+        keep3 = ~(is_lf & (pos > np.repeat(last_nonlf, counts2)))
+        counts3 = _doc_counts(keep3, off2)
+        canon = ks2[keep3]
+    else:
+        counts3 = np.zeros(ndocs, dtype=np.int64)
+        canon = ks2
 
-    kept_idx = np.flatnonzero(keep)
-    canon = work[kept_idx]
-    kdoc = np.searchsorted(doc_off[1:], kept_idx, side="right")
-    counts = np.bincount(kdoc, minlength=ndocs)
-    canon_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    canon_off = np.concatenate([[0], np.cumsum(counts3)]).astype(np.int64)
     return canon, canon_off, doc_off, b
 
 

@@ -119,6 +119,7 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     rejects = docs.filter(expr="status != 'ok'")
 
     membership = ed.exact_dedup(docs, cfg).materialize()
+    shuffle_bytes = {"exact_dedup_membership": membership.size_bytes()}
     reject_ids = rejects.select_columns(["doc_id"])
     winners, wf_stats = ed.winner_filter(corpus, membership, cfg,
                                          rejects_ids_ds=reject_ids)
@@ -143,10 +144,18 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
         signatures = fingerprint_dataset(winners, cfg).materialize()
     metrics["t_fingerprint"] = time.perf_counter() - t1
 
+    shuffle_bytes["signatures_pinned"] = signatures.size_bytes()
+
     # --- candidates + two-phase verification -----------------------------
     t2 = time.perf_counter()
     cand_pairs = lsh.candidate_pairs(signatures, cfg).materialize()
     metrics["n_candidates"] = cand_pairs.count()
+    # band/anchor emission is the one big streamed shuffle; its volume is
+    # rows x slim-row width (5 fixed cols + key + channel ~ 51 B) — an
+    # analytic figure because the emitted stream is never materialized
+    shuffle_bytes["lsh_emit_est"] = (
+        metrics["n_winners"] * (cfg.bands + cfg.anchor_k) * 51)
+    shuffle_bytes["pair_dedupe"] = cand_pairs.size_bytes()
     verified = lsh.verify_candidates(
         cand_pairs, signatures, cfg,
         n_pairs=metrics["n_candidates"]).materialize()
@@ -161,6 +170,11 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     pairs = pairs.materialize()
     metrics["n_pairs"] = pairs.count()
     metrics["t_candidates_verify"] = time.perf_counter() - t2
+    # phase-2 signature fetch ships (8 B id + num_perms x 8 B minhash) per
+    # candidate doc — broadcast once under the cap, bucketed join above
+    shuffle_bytes["verify_sig_fetch_est"] = (
+        2 * metrics["n_candidates"] * (8 + 8 * cfg.num_perms))
+    shuffle_bytes["verified_pairs"] = pairs.size_bytes()
 
     # --- clustering -------------------------------------------------------
     t3 = time.perf_counter()
@@ -169,6 +183,9 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
         edges,
         small_graph_threshold=cfg.cc_small_graph_threshold).materialize()
     clusters = assign_clusters(docs, parents, cfg)
+    shuffle_bytes["cc_edges_est"] = 16 * (metrics["n_pairs"]
+                                          + metrics["n_losers"])
+    metrics["shuffle_bytes"] = shuffle_bytes
     metrics["t_cluster"] = time.perf_counter() - t3
     metrics["t_total"] = time.perf_counter() - t0
 

@@ -55,16 +55,19 @@ def batch_doc_ids(batch: pa.Table) -> np.ndarray:
 
 def normalize_batch(batch: pa.Table, cfg: PipelineConfig | None = None,
                     emit_canonical: bool = False,
-                    impl: str = "bytes") -> pa.Table:
+                    impl: str = "python") -> pa.Table:
     """Batch normalize with two bit-identical implementations:
 
-    - ``impl="bytes"`` (default, the hot path): byte-level vectorized
-      canonicalization over the Arrow buffer + sha256 of buffer slices —
-      zero Python strings (``functions/bytetext.py``; property-tested
-      equal to the string path in ``tests/test_bytetext.py`` and
-      ``test_normalize_impls_identical``).
-    - ``impl="python"`` — the per-row string implementation, kept as the
-      readable oracle twin.
+    - ``impl="python"`` (DEFAULT, measured): per-row C-speed primitives —
+      hashlib sha256, the canonicalize regex, str ops.  MEASURED at
+      500k docs on the bench box: 14.8 s @ 8 cpus -> 5.2 s @ 32 (2.85x).
+    - ``impl="bytes"``: byte-level vectorized canonicalization over the
+      Arrow buffer (``functions/bytetext.py``; property-tested equal).
+      MEASURED: 21.6 s @ 8 cpus -> 129 s @ 32 — the ~10 large ndarray
+      temporaries per batch ANTI-SCALE on this single-memory-controller
+      box (page-zeroing/TLB-shootdown collapse; BASELINE.md 'normalize
+      impl shootout').  Kept selectable for hardware where large-array
+      streaming wins, and as the buffer-level reference.
     """
     n = batch.num_rows
     doc_ids = batch_doc_ids(batch)
