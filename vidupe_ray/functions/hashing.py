@@ -106,6 +106,34 @@ def _mod_inverse_u64(a: np.uint64) -> np.uint64:
 _POLY_PINV = _mod_inverse_u64(_POLY_P)
 
 
+_POW_TABLES: dict = {}
+_TOKENIZE_CHUNK = 1 << 16          # 64 KiB of text per chunk: every u64
+                                   # temporary (power tables, prefix sums)
+                                   # stays L2-resident.  The unchunked
+                                   # version allocated 24 BYTES of u64
+                                   # temporaries per input byte (~1.5 GB
+                                   # DRAM traffic per 24 MB batch) and was
+                                   # the fingerprint stage's bandwidth
+                                   # ceiling (BASELINE.md roofline table).
+
+
+def _pow_tables(n: int) -> tuple:
+    """(P^i, Pinv^i) tables, data-independent — computed once per process
+    and reused by every chunk/batch."""
+    t = _POW_TABLES.get("t")
+    if t is None or len(t[0]) < n:
+        size = max(n, _TOKENIZE_CHUNK)
+        base = np.full(size, _POLY_P, dtype=U64)
+        base[0] = U64(1)
+        ppow = np.multiply.accumulate(base)
+        base[:] = _POLY_PINV
+        base[0] = U64(1)
+        pinv = np.multiply.accumulate(base)
+        t = (ppow, pinv)
+        _POW_TABLES["t"] = t
+    return t
+
+
 def byte_tokenize_hash(arr, seed: int) -> tuple:
     """Tokenize+hash an Arrow string array fully vectorized at byte level.
 
@@ -113,8 +141,12 @@ def byte_tokenize_hash(arr, seed: int) -> tuple:
     drop-in for ``hash_token_lists(tokenize(...))`` without creating a
     single Python string.  Token hash = mixed polynomial of the token's
     bytes (prefix-sum trick: H(s,e) = (S[e]-S[s]) * P^(e-1) in Z/2^64,
-    where S is the cumulative sum of byte[j]*Pinv^j — three C-speed passes
-    over the byte buffer).
+    where S is the cumulative sum of byte[j]*Pinv^j).  Because
+    P^(e-1)*(Pinv^j) = P^(e-1-j) the hash depends only on the token's own
+    bytes, so the buffer is processed in doc-aligned ~64 KiB chunks with
+    chunk-local indices — bit-identical results, cache-resident
+    temporaries (the power tables are data-independent process-cached
+    constants).
 
     Tokens never cross document boundaries (explicit mask breaks at the
     string offsets).  Nulls count as empty documents.
@@ -140,38 +172,65 @@ def byte_tokenize_hash(arr, seed: int) -> tuple:
     doc_off = offs - lo
     n = len(b)
 
-    m = _WORD_LUT[b]
+    # doc-aligned chunk boundaries: greedy fill to ~_TOKENIZE_CHUNK bytes
+    # (a doc larger than the chunk target gets its own chunk)
+    counts_all = np.zeros(ndocs, dtype=np.int64)
+    h_parts = []
+    d0 = 0
+    while d0 < ndocs:
+        d1 = int(np.searchsorted(doc_off,
+                                 doc_off[d0] + _TOKENIZE_CHUNK,
+                                 side="left"))
+        d1 = max(d1, d0 + 1)
+        d1 = min(d1, ndocs)
+        h, cnts = _tokenize_span(b, doc_off, d0, d1, seed)
+        if len(h):
+            h_parts.append(h)
+        counts_all[d0:d1] = cnts
+        d0 = d1
+    hashes = (np.concatenate(h_parts) if h_parts
+              else np.empty(0, dtype=U64))
+    tok_offsets = np.concatenate(
+        [[0], np.cumsum(counts_all)]).astype(np.int64)
+    return hashes, tok_offsets
+
+
+def _tokenize_span(b: np.ndarray, doc_off: np.ndarray, d0: int, d1: int,
+                   seed: int) -> tuple:
+    """Token hashes + per-doc counts for docs [d0, d1) — all temporaries
+    sized to the span."""
+    lo, hi = int(doc_off[d0]), int(doc_off[d1])
+    n = hi - lo
+    if n == 0:
+        return np.empty(0, dtype=U64), np.zeros(d1 - d0, dtype=np.int64)
+    bb = b[lo:hi]
+    span_off = doc_off[d0:d1 + 1] - lo
+
+    m = _WORD_LUT[bb]
     prev = np.empty_like(m)
     prev[0] = False
     prev[1:] = m[:-1]
     nxt = np.empty_like(m)
     nxt[-1] = False
     nxt[:-1] = m[1:]
-    inner = doc_off[1:-1]
+    inner = span_off[1:-1]
     inner = inner[(inner > 0) & (inner < n)]
     prev[inner] = False          # a doc start never continues a token
     nxt[inner - 1] = False       # a doc end always terminates one
     starts = np.flatnonzero(m & ~prev)
     ends = np.flatnonzero(m & ~nxt) + 1
 
-    # prefix-power tables (uint64 wraparound)
-    base = np.full(n, _POLY_P, dtype=U64)
-    base[0] = U64(1)
-    ppow = np.multiply.accumulate(base)
-    base[:] = _POLY_PINV
-    base[0] = U64(1)
-    pinv = np.multiply.accumulate(base)
+    ppow, pinv = _pow_tables(n)
     s = np.empty(n + 1, dtype=U64)
     s[0] = U64(0)
-    np.cumsum(b.astype(U64) * pinv, out=s[1:])
+    np.cumsum(bb.astype(U64) * pinv[:n], out=s[1:])
     h = (s[ends] - s[starts]) * ppow[ends - 1]
     # fold in token length (cheap collision guard) and the seed, then mix
     h = mix64(h ^ ((ends - starts).astype(U64) * _GOLDEN) ^ U64(seed))
 
-    tok_doc = np.searchsorted(doc_off[1:], starts, side="right")
-    counts = np.bincount(tok_doc, minlength=ndocs)
-    tok_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    return h, tok_offsets
+    tok_doc = np.searchsorted(span_off[1:], starts, side="right")
+    counts = np.bincount(tok_doc, minlength=d1 - d0)
+    return h, counts
 
 
 def _window_coeffs(k: int, seed: int) -> np.ndarray:
@@ -454,29 +513,20 @@ def bottom_k_distinct(sh: np.ndarray, sh_offsets: np.ndarray,
     if n == 0 or ndocs == 0:
         return (np.empty(0, dtype=U64),
                 np.zeros(ndocs + 1, dtype=np.int64))
-    # one batch-wide lexsort replaces the per-doc partition/unique loop:
-    # sort by (doc, value), mark within-doc first occurrences, rank them
-    # with a segment-reset cumsum, keep rank <= k
-    seg_counts = np.diff(sh_offsets).astype(np.int64)
-    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), seg_counts)
-    order = np.lexsort((sh, doc_idx))
-    sv = sh[order]
-    sd = doc_idx[order]
-    new_doc = np.empty(n, dtype=bool)
-    new_doc[0] = True
-    new_doc[1:] = sd[1:] != sd[:-1]
-    distinct = np.empty(n, dtype=bool)
-    distinct[0] = True
-    distinct[1:] = new_doc[1:] | (sv[1:] != sv[:-1])
-    dcum = np.cumsum(distinct)
-    doc_start = np.flatnonzero(new_doc)
-    # distinct-rank within doc = dcum - (distinct count before doc start)
-    base = np.repeat(dcum[doc_start] - 1, np.diff(
-        np.concatenate([doc_start, [n]])))
-    rank = dcum - base
-    keep = distinct & (rank <= k)
-    values = sv[keep]                 # ascending within each doc
-    counts = np.bincount(sd[keep], minlength=ndocs)
+    # per-doc sort+unique of ~200-element slices: measured 19x faster than
+    # a batch-wide (value, doc) lexsort on this box — 16-byte lexsort keys
+    # over the whole batch are DRAM-hostile, while each doc slice sorts in
+    # cache (same pattern as simhash_doc_slots; outputs identical)
+    vals = []
+    counts = np.zeros(ndocs, dtype=np.int64)
+    for d in range(ndocs):
+        seg = sh[sh_offsets[d]:sh_offsets[d + 1]]
+        if len(seg) == 0:
+            continue
+        u = np.unique(seg)[:k]       # sorted ascending, exact distinct
+        counts[d] = len(u)
+        vals.append(u)
+    values = (np.concatenate(vals) if vals else np.empty(0, dtype=U64))
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     return values, offsets
 
