@@ -422,21 +422,32 @@ def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig,
         return batch.select(["doc_id", "minhash"]).filter(
             pa.array(want[pos] == d))
 
+    from ..state.joins import build_broadcast
     sub = signatures_ds.map_batches(_grab, batch_format="pyarrow")
-    id_arr, mh_parts = [], []
-    for b in sub.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        id_arr.append(b.column("doc_id").to_numpy(zero_copy_only=False))
-        mh_parts.append(fsl_matrix(b, "minhash", cfg.num_perms))
-    id_arr = np.concatenate(id_arr) if id_arr else np.empty(0, np.int64)
-    mh = (np.concatenate(mh_parts, axis=0) if mh_parts
-          else np.empty((0, cfg.num_perms), H.U64))
-    order = np.argsort(id_arr, kind="stable")
-    sig_ref = ray.put((id_arr[order], mh[order]))
+
+    def _build_probe(tables):
+        id_parts, mh_parts = [], []
+        for b in tables:
+            if b.num_rows == 0:
+                continue
+            id_parts.append(b.column("doc_id").to_numpy(
+                zero_copy_only=False))
+            mh_parts.append(fsl_matrix(b, "minhash", cfg.num_perms))
+        ids_ = (np.concatenate(id_parts) if id_parts
+                else np.empty(0, np.int64))
+        mh = (np.concatenate(mh_parts, axis=0) if mh_parts
+              else np.empty((0, cfg.num_perms), H.U64))
+        order = np.argsort(ids_, kind="stable")
+        return ids_[order], mh[order]
+
+    sig_ref = build_broadcast(sub, _build_probe)
 
     def _verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         sig_ids, sig_mh = ray.get(sig_ref)
+        if len(sig_ids) == 0:
+            return batch.slice(0, 0)
         a = batch.column("a").to_numpy(zero_copy_only=False)
         b_ = batch.column("b").to_numpy(zero_copy_only=False)
         ia = np.searchsorted(sig_ids, a)

@@ -101,31 +101,41 @@ def confirm_containment(cand_pairs_ds, winners_ds, cfg: PipelineConfig,
     if broadcastable:
         # the id cap bounds the COUNT; bytes are capped separately — large
         # documents switch to the bucketed join long before the id cap
-        total_bytes = 0
-        id_parts, text_parts = [], []
-        for b in subset.iter_batches(batch_size=1 << 16,
-                                     batch_format="pyarrow"):
-            col = b.column("content_canon")
+        def _nbytes(t: pa.Table) -> pa.Table:
+            col = t.column("content_canon")
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            total_bytes += col.nbytes
-            id_parts.append(b.column("doc_id").to_numpy(
-                zero_copy_only=False))
-            text_parts.append(col)
-            if total_bytes > cfg.broadcast_bytes_cap:
-                break
+            return pa.table({"b": pa.array(
+                [col.nbytes if t.num_rows else 0], pa.int64())})
+
+        total_bytes = int(subset.map_batches(
+            _nbytes, batch_format="pyarrow").sum("b") or 0)
         if total_bytes <= cfg.broadcast_bytes_cap:
-            ids_arr = (np.concatenate(id_parts) if id_parts
-                       else np.empty(0, np.int64))
-            order = np.argsort(ids_arr, kind="stable")
-            texts_all = (pa.concat_arrays(text_parts) if text_parts
-                         else pa.array([], pa.large_string()))
-            content_ref = ray.put(
-                (ids_arr[order],
-                 texts_all.take(pa.array(order, pa.int64()))))
+            from ..state.joins import build_broadcast
+
+            def _build(tables):
+                id_parts, text_parts = [], []
+                for b in tables:
+                    if b.num_rows == 0:
+                        continue
+                    col = b.column("content_canon")
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    id_parts.append(b.column("doc_id").to_numpy(
+                        zero_copy_only=False))
+                    text_parts.append(col)
+                ids_arr = (np.concatenate(id_parts) if id_parts
+                           else np.empty(0, np.int64))
+                order = np.argsort(ids_arr, kind="stable")
+                texts_all = (pa.concat_arrays(text_parts) if text_parts
+                             else pa.array([], pa.large_string()))
+                return (ids_arr[order],
+                        texts_all.take(pa.array(order, pa.int64())))
+
+            probe_ref = build_broadcast(subset, _build)
 
             def _confirm(batch: pa.Table) -> pa.Table:
-                sids, stexts = ray.get(content_ref)
+                sids, stexts = ray.get(probe_ref)
                 a_arr = batch.column("a").to_numpy(zero_copy_only=False)
                 b_arr = batch.column("b").to_numpy(zero_copy_only=False)
                 if len(sids) == 0:

@@ -257,6 +257,30 @@ def lookup_join(left_ds, key_col: str, mapping_ds, map_key: str,
 
 
 # --------------------------------------------------------------------------
+# worker-side dataset broadcast (no driver round-trip)
+# --------------------------------------------------------------------------
+
+def build_broadcast(ds, build_fn):
+    """Materialize ``ds``, run ``build_fn(list[pa.Table]) -> probe`` in
+    ONE remote task, and return the ObjectRef of the built probe.
+
+    The probe is built exactly once (not per worker process — a
+    per-process build of a multi-hundred-MB structure re-triggers this
+    box's 32-way page-zeroing collapse), the driver never streams the
+    data through itself, and consumers ``ray.get`` the single built
+    object zero-copy from plasma.
+    """
+    mat = ds.materialize()
+    refs = list(mat.to_arrow_refs())
+
+    @ray.remote(num_cpus=1)
+    def _build(*tables):
+        return build_fn(list(tables))
+
+    return _build.remote(*refs)
+
+
+# --------------------------------------------------------------------------
 # broadcast small-side helpers (the fast path under the cap)
 # --------------------------------------------------------------------------
 
