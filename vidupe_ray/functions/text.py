@@ -22,6 +22,10 @@ import re
 # Video tasks, video.cpp:4-11).
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 _WS_RUN_RE = re.compile(r"[ \t\f\v]+")
+# collapse pattern that SKIPS single plain spaces (the overwhelmingly
+# common case — replacing every single space with itself wastes the
+# whole pass): only 2+ runs or any tab/FF/VT need rewriting
+_WS_MULTI_RE = re.compile(r"[ \t\f\v]{2,}|[\t\f\v]")
 
 
 def canonicalize(text: str) -> str:
@@ -35,14 +39,18 @@ def canonicalize(text: str) -> str:
     Whitespace-only variants (re-indent, CRLF<->LF, trailing spaces) map to
     the same canonical string, so the exact-dedup stage catches them with a
     plain hash — the cheap path the reference never had (SURVEY.md §2.8).
+
+    One whole-document collapse pass (single plain spaces skipped — see
+    ``_WS_MULTI_RE``) + C-level ``str.strip`` per line.  The spec is
+    ASCII-whitespace only (strip spaces, not unicode whitespace — mirrors
+    the byte-level implementation in functions/bytetext.py; unicode
+    spaces are content, not presentation).
     """
     if not text:
         return ""
     text = text.replace("\r\n", "\n").replace("\r", "\n")
-    # strip(" ") not strip(): the canonical spec is ASCII-whitespace only
-    # (mirrors the byte-level implementation in functions/bytetext.py;
-    # unicode spaces are content, not presentation)
-    lines = [_WS_RUN_RE.sub(" ", ln).strip(" ") for ln in text.split("\n")]
+    text = _WS_MULTI_RE.sub(" ", text)
+    lines = [ln.strip(" ") for ln in text.split("\n")]
     while lines and not lines[-1]:
         lines.pop()
     return "\n".join(lines)

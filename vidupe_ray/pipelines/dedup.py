@@ -98,7 +98,21 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     # (recompute beats shipping; SURVEY.md §7.4 wide-record rule).
     nblocks = cfg.target_blocks or max(
         8, 2 * int(ray.cluster_resources().get("CPU", 8)))
-    corpus = corpus_ds.repartition(nblocks)
+
+    # stamp doc_id into the (about-to-be-pinned) corpus blocks ONCE:
+    # every downstream consumer (winner anti-join, fingerprint,
+    # containment fetch, resume splits) re-scans the corpus lazily and
+    # would otherwise re-derive 500k+ identity hashes per scan
+    from ..stages.normalize import batch_doc_ids
+
+    def _stamp_ids(batch: pa.Table) -> pa.Table:
+        if "doc_id" in batch.column_names:
+            return batch
+        return batch.append_column(
+            "doc_id", pa.array(batch_doc_ids(batch), pa.int64()))
+
+    corpus = corpus_ds.repartition(nblocks).map_batches(
+        _stamp_ids, batch_format="pyarrow")
     pin = cfg.pin_corpus
     if pin is None:
         # auto gate: pin only when the corpus fits comfortably in the
