@@ -193,6 +193,21 @@ def q_media_features(sf_dir: str):
         ["doc_id", "media_type", "n_bytes", "status"])
 
 
+def q_top_per_lang(sf_dir: str):
+    from vidupe_ray.pipelines.textops import top_docs_per_lang
+    return top_docs_per_lang(sf_dir)
+
+
+def q_sample_per_lang(sf_dir: str):
+    from vidupe_ray.pipelines.textops import sample_docs_per_lang
+    return sample_docs_per_lang(sf_dir)
+
+
+def q_hopping_window(sf_dir: str):
+    from vidupe_ray.pipelines.events import hopping_window_stats
+    return hopping_window_stats(sf_dir)
+
+
 def q_tumbling_window(sf_dir: str):
     from vidupe_ray.pipelines.events import tumbling_window_stats
     return tumbling_window_stats(sf_dir)
@@ -230,8 +245,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_doc_fingerprints,
         "media_features": q_media_features,
         "tumbling_window": q_tumbling_window,
+        "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
         "heavy_hitters": q_heavy_hitters,
+        "top_per_lang": q_top_per_lang,
+        "sample_per_lang": q_sample_per_lang,
     }
 
 
@@ -405,6 +423,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(sum(value) * 100) AS BIGINT) AS value_x100
         FROM events GROUP BY 1, 2"""
 
+    # every event lands in window/hop = 4 hopping windows; the cross-join
+    # fan-out mirrors the Ray side's vectorized 4x emission
+    hopping_window = """
+        WITH g AS (SELECT unnest(generate_series(0, 3)) AS i),
+        e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                     event_type, value
+              FROM events)
+        SELECT event_type,
+               ((tsec // 900) - i) * 900 AS window_start,
+               count(*) AS n_events,
+               CAST(round(sum(value) * 100) AS BIGINT) AS value_x100
+        FROM e CROSS JOIN g
+        GROUP BY 1, 2"""
+
+    top_per_lang = """
+        SELECT lang, doc_id, n_chars, rank FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) AS rank
+            FROM documents)
+        WHERE rank <= 5"""
+
+    sample_per_lang = """
+        SELECT lang, doc_id, sample_rank FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS sample_rank
+            FROM documents)
+        WHERE sample_rank <= 20"""
+
     sessionize = """
         WITH e AS (SELECT user_id,
                           CAST(floor(epoch(ts)) AS BIGINT) AS ep
@@ -430,8 +480,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "media_features": media_features,
         "tumbling_window": tumbling_window,
+        "hopping_window": hopping_window,
         "sessionize": sessionize,
         "heavy_hitters": heavy_hitters,
+        "top_per_lang": top_per_lang,
+        "sample_per_lang": sample_per_lang,
         "normalize_docs": normalize_docs,
         "doc_stats": doc_stats,
         "exact_dedup": exact_dedup,

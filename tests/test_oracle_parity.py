@@ -9,7 +9,8 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 SUBSET = ["doc_stats", "exact_dedup", "token_stats", "quality",
-          "heavy_hitters", "tumbling_window"]
+          "heavy_hitters", "tumbling_window", "hopping_window",
+          "top_per_lang", "sample_per_lang"]
 
 
 @pytest.fixture(scope="module")

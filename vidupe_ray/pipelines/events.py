@@ -109,3 +109,42 @@ def heavy_hitters(sf_dir: str, k: int = 10):
         ["n", "user_id"], ascending=[False, True]).head(k)
     top["n"] = top["n"].astype("int64")
     return top.reset_index(drop=True)
+
+
+def hopping_window_stats(sf_dir: str, window_s: int = 3600,
+                         hop_s: int = 900):
+    """Overlapping (hopping) windows: every event lands in
+    ``window_s / hop_s`` windows (4 by default).  The fan-out is done
+    vectorized inside the partial aggregate — the shuffle carries one row
+    per (type, window, batch), never the 4x event stream.
+    """
+    nh = window_s // hop_s
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        base = epoch // hop_s
+        ws = np.concatenate([(base - i) * hop_s for i in range(nh)])
+        g = pd.DataFrame({
+            "event_type": np.tile(df["event_type"].to_numpy(), nh),
+            "window_start": ws,
+            "value": np.tile(df["value"].to_numpy(np.float64), nh)})
+        return g.groupby(["event_type", "window_start"],
+                         as_index=False).agg(
+            n_events=("value", "size"), value_sum=("value", "sum"))
+
+    from ray.data.aggregate import Sum
+    partial = read_events(sf_dir, ["ts", "event_type", "value"]) \
+        .map_batches(_partial, batch_format="pandas")
+    out = partial.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_sum", alias_name="value_sum_raw"))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_x100"] = np.rint(
+            df["value_sum_raw"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        df["n_events"] = df["n_events"].astype("int64")
+        return df[["event_type", "window_start", "n_events", "value_x100"]]
+
+    return out.map_batches(_finish, batch_format="pandas")

@@ -305,3 +305,56 @@ def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int = 200,
         return out[out["jaccard_ppm"] >= threshold_ppm]
 
     return withs.map_batches(_jaccard, batch_format="pandas")
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 5):
+    """Distributed top-k per group (rank operator): largest docs per
+    language, rank 1..k, ties broken by min doc_id.
+
+    Mergeable-partial pattern: each batch keeps only its own per-lang
+    top-k, the final per-group rank runs on <= k x n_batches rows — the
+    shuffle never carries the full table.
+    """
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["lang", "doc_id", "n_chars"]]
+        return (df.sort_values(["lang", "n_chars", "doc_id"],
+                               ascending=[True, False, True])
+                .groupby("lang", as_index=False).head(k))
+
+    parts = read_documents(sf_dir, ["doc_id", "lang", "n_chars"]) \
+        .map_batches(_partial, batch_format="pandas")
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True]).head(k).copy())
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["lang", "doc_id", "n_chars", "rank"]]
+
+    return parts.groupby("lang").map_groups(_final, batch_format="pandas")
+
+
+def sample_docs_per_lang(sf_dir: str, n: int = 20):
+    """Deterministic per-group sampling: the n docs with the smallest
+    md5(doc_id) per language — a uniform, order-independent, reproducible
+    sample (the distributed analogue of ORDER BY hash LIMIT n per group).
+
+    Same mergeable top-k-by-key skeleton as ``top_docs_per_lang``; the
+    sample is identical at any parallelism because the key is a pure
+    function of the row.
+    """
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["lang", "doc_id"]].copy()
+        df["hkey"] = [hashlib.md5(str(int(d)).encode()).hexdigest()
+                      for d in df["doc_id"]]
+        return (df.sort_values(["lang", "hkey"])
+                .groupby("lang", as_index=False).head(n))
+
+    parts = read_documents(sf_dir, ["doc_id", "lang"]).map_batches(
+        _partial, batch_format="pandas")
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("hkey").head(n).copy()
+        df["sample_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["lang", "doc_id", "sample_rank"]]
+
+    return parts.groupby("lang").map_groups(_final, batch_format="pandas")
