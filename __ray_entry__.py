@@ -95,6 +95,20 @@ def q_dedup_clusters_exact(sf_dir: str):
         ["doc_id", "cluster_id", "cluster_size", "is_canonical"])
 
 
+def q_dedup_clusters_simhash(sf_dir: str):
+    """The pHash-mode analogue as a first-class entry: Hamming similarity
+    on the 64-bit head/tail SimHash slots alone decides
+    (``comparison.cpp:137-140``), no MinHash verification.  Deterministic;
+    no SQL oracle (bit sketches aren't SQL-expressible) — covered by the
+    pytest golden suite (``tests/test_simhash_mode.py``)."""
+    from vidupe_ray.sources.corpus_source import documents_as_corpus
+    from vidupe_ray.pipelines.dedup import run_dedup
+    cfg = PipelineConfig(fingerprint_concurrency=2, mode="simhash")
+    res = run_dedup(documents_as_corpus(sf_dir), cfg)
+    return res.clusters.select_columns(
+        ["doc_id", "cluster_id", "cluster_size", "is_canonical"])
+
+
 def q_normalize_docs(sf_dir: str):
     """Normalize stage surfaced directly on the corpus schema: the per-row
     sha256 invariant column (BASELINE.json) is checkable by DuckDB."""
@@ -240,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_exact": q_dedup_clusters_exact,
+        "dedup_clusters_simhash": q_dedup_clusters_simhash,
         "dedup_pairs": q_dedup_pairs,
         "signatures": q_signatures,
         "doc_fingerprints": q_doc_fingerprints,
