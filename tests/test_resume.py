@@ -101,3 +101,42 @@ def test_rematch_without_checkpoint_raises(ray_session, tmp_path):
     with pytest.raises(ValueError, match="no usable signature checkpoint"):
         rematch(rd.from_arrow(corpus), CFG,
                 checkpoint_dir=str(tmp_path / "nothing"))
+
+
+def test_meta_cache_resume_and_invalidation(ray_session, tmp_path):
+    """File-identity docs/membership cache (the reference's
+    md5(basename+mtime) key, db.cpp:22-30): an unchanged corpus skips
+    normalize + exact dedup on re-run with IDENTICAL clusters; touching a
+    source file invalidates the cache."""
+    import os
+    import time as _time
+    import ray.data as rd
+    import pandas as pd
+    from vidupe_ray.corpus import write_corpus
+    from vidupe_ray.config import PipelineConfig
+    from vidupe_ray.pipelines.dedup import run_dedup
+
+    cdir = write_corpus(str(tmp_path / "c"), 250, seed=17)
+    ck = str(tmp_path / "ck")
+    cfg = PipelineConfig(fingerprint_concurrency=2)
+    r1 = run_dedup(rd.read_parquet(cdir), cfg, checkpoint_dir=ck)
+    c1 = (r1.clusters.to_pandas()[["doc_id", "cluster_id"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    assert r1.metrics["meta_resumed"] is False
+
+    r2 = run_dedup(rd.read_parquet(cdir), cfg, checkpoint_dir=ck)
+    assert r2.metrics["meta_resumed"] is True
+    assert r2.metrics["signatures_resumed"] is True
+    c2 = (r2.clusters.to_pandas()[["doc_id", "cluster_id"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(c1, c2)
+
+    # touch one shard -> mtime changes -> cache must NOT be reused
+    part = sorted(os.listdir(cdir))[0]
+    p = os.path.join(cdir, part)
+    os.utime(p, ns=(_time.time_ns(), _time.time_ns() + 1))
+    r3 = run_dedup(rd.read_parquet(cdir), cfg, checkpoint_dir=ck)
+    assert r3.metrics["meta_resumed"] is False
+    c3 = (r3.clusters.to_pandas()[["doc_id", "cluster_id"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(c1, c3)

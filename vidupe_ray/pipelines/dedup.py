@@ -82,6 +82,7 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     cfg = cfg or PipelineConfig()
     metrics = {}
     t0 = time.perf_counter()
+    source_ds = corpus_ds          # pre-filter handle: file-identity key
 
     if cfg.lang_allowlist:
         corpus_ds = corpus_ds.map_batches(
@@ -130,14 +131,38 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     if pin:
         corpus = corpus.materialize()
 
-    # metadata-only normalize: hashes + counters + status, ~100 B/row
-    docs = corpus.map_batches(normalize_batch,
-                              batch_format="pyarrow").materialize()
+    # metadata-only normalize: hashes + counters + status, ~100 B/row.
+    # With a checkpoint dir the docs/membership tables are cached keyed by
+    # FILE identity (path+size+mtime — the reference's md5(basename+mtime)
+    # cache key, db.cpp:22-30): an unchanged corpus skips the normalize
+    # scan and the exact-dedup shuffle entirely on re-runs/rematch.
+    docs = membership = None
+    meta_key = None
+    if checkpoint_dir:
+        from ..state.checkpoint import (corpus_cache_key, load_meta_cache,
+                                        save_meta_cache)
+        meta_key = corpus_cache_key(source_ds, cfg)
+        cached_docs = load_meta_cache(checkpoint_dir, meta_key,
+                                      "docs_meta")
+        cached_mem = load_meta_cache(checkpoint_dir, meta_key,
+                                     "membership")
+        if cached_docs is not None and cached_mem is not None:
+            docs = cached_docs.materialize()
+            membership = cached_mem.materialize()
+            metrics["meta_resumed"] = True
+    if docs is None:
+        docs = corpus.map_batches(normalize_batch,
+                                  batch_format="pyarrow").materialize()
+        membership = ed.exact_dedup(docs, cfg).materialize()
+        metrics["meta_resumed"] = False
+        if checkpoint_dir and meta_key:
+            save_meta_cache(checkpoint_dir, meta_key, "docs_meta", docs)
+            save_meta_cache(checkpoint_dir, meta_key, "membership",
+                            membership)
     metrics["n_input"] = docs.count()
 
     rejects = docs.filter(expr="status != 'ok'")
 
-    membership = ed.exact_dedup(docs, cfg).materialize()
     shuffle_bytes = {"exact_dedup_membership": membership.size_bytes()}
     reject_ids = rejects.select_columns(["doc_id"])
     winners, wf_stats = ed.winner_filter(corpus, membership, cfg,

@@ -156,6 +156,68 @@ def _write_manifest(checkpoint_dir: str, cfg):
         json.dump({"config_hash": cfg.signature_config_hash}, f)
 
 
+def corpus_cache_key(corpus_ds, cfg) -> str | None:
+    """Identity key of a FILE-BACKED corpus: sha256 over the sorted
+    (path, size, mtime) list of its source files plus the config fields
+    that shape the metadata pass (lang allowlist).
+
+    This is the direct analogue of the reference's cache key
+    ``md5(basename + mtime)`` (``db.cpp:22-30``) — file-level identity,
+    no content scan.  ``None`` for in-memory datasets (nothing stable to
+    key on)."""
+    try:
+        files = corpus_ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import hashlib
+    h = hashlib.sha256()
+    try:
+        for f in sorted(files):
+            st = os.stat(f)
+            h.update(f"{f}\x00{st.st_size}\x00{st.st_mtime_ns}\n".encode())
+    except OSError:
+        return None
+    h.update(repr(tuple(cfg.lang_allowlist)).encode())
+    return h.hexdigest()[:16]
+
+
+def _meta_dir(checkpoint_dir: str, key: str, what: str) -> str:
+    return os.path.join(checkpoint_dir, what, key)
+
+
+def load_meta_cache(checkpoint_dir: str, key: str | None, what: str):
+    """Cached ``docs`` / ``membership`` dataset for this corpus key, or
+    ``None``."""
+    if key is None:
+        return None
+    d = _meta_dir(checkpoint_dir, key, what)
+    if not glob.glob(os.path.join(d, "*.parquet")):
+        return None
+    return rd.read_parquet(d)
+
+
+def save_meta_cache(checkpoint_dir: str, key: str | None, what: str, ds):
+    """Atomically persist a (tiny) metadata dataset: write to scratch,
+    rename parts in — a mid-run kill never leaves a truncated cache."""
+    if key is None:
+        return
+    import shutil
+    import uuid
+    d = _meta_dir(checkpoint_dir, key, what)
+    parent = os.path.dirname(d)
+    os.makedirs(parent, exist_ok=True)
+    for stale in glob.glob(os.path.join(parent, "tmp-*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    tmp = os.path.join(parent, f"tmp-{uuid.uuid4().hex[:8]}")
+    ds.write_parquet(tmp)
+    if os.path.isdir(d):        # already cached by a concurrent run
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    os.rename(tmp, d)
+
+
 def write_lineage(checkpoint_dir: str, stage: str, record: dict):
     """Append one lineage/metrics record (JSONL) — the status-log sink
     analogue (``mainwindow.cpp:292-296``), structured."""
