@@ -140,3 +140,39 @@ def test_meta_cache_resume_and_invalidation(ray_session, tmp_path):
     c3 = (r3.clusters.to_pandas()[["doc_id", "cluster_id"]]
           .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(c1, c3)
+
+
+def test_resumable_partitioned_output(ray_session, tmp_path):
+    """state.output.resumable_write: partitioned parts with atomic
+    completion; a re-run skips finished partitions; a deleted partition
+    (simulated crash hole) is re-written; read-back is identical."""
+    import os
+    import glob
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from vidupe_ray.state.output import resumable_write, read_partitioned
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"doc_id": rng.permutation(5000).astype("int64"),
+                       "v": np.arange(5000, dtype="int64")})
+    ds = rd.from_pandas(df).repartition(8)
+    d = str(tmp_path / "out")
+    m1 = resumable_write(ds, d, "doc_id", buckets=16)
+    assert not m1["skipped"].any()
+    back = read_partitioned(d).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        back.reset_index(drop=True),
+        df.sort_values("doc_id").reset_index(drop=True))
+
+    m2 = resumable_write(ds, d, "doc_id", buckets=16)
+    assert m2["skipped"].all()            # everything already landed
+
+    victim = sorted(glob.glob(os.path.join(d, "part-*.parquet")))[3]
+    os.remove(victim)                      # crash hole
+    m3 = resumable_write(ds, d, "doc_id", buckets=16)
+    assert (~m3["skipped"]).sum() == 1     # only the hole was re-written
+    back3 = read_partitioned(d).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        back3.reset_index(drop=True),
+        df.sort_values("doc_id").reset_index(drop=True))

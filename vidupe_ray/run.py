@@ -29,19 +29,27 @@ os.environ.setdefault("PYTHONMALLOC", "malloc")
 
 
 def write_outputs(res, out_dir: str) -> dict:
-    """Partitioned parquet per output dataset + metrics json.
+    """Resumable partitioned parquet per output dataset + metrics json.
 
-    Each dataset goes to its own directory (one part file per block) so a
-    rerun with a different stage can skip finished outputs; signature
-    checkpoints already live under the checkpoint dir.
+    The key-bearing datasets go through ``state.output.resumable_write``
+    (hash-partitioned ``part-<b>.parquet`` with atomic rename + manifest):
+    a re-run against the same ``out_dir`` skips every partition that
+    already landed, so output cost after a crash is proportional to the
+    unfinished partitions — never one giant file (task brief).
     """
+    from vidupe_ray.state.output import resumable_write
     counts = {}
-    for name, ds in [("clusters", res.clusters), ("pairs", res.pairs),
-                     ("rejects", res.rejects)]:
+    for name, ds, key in [("clusters", res.clusters, "doc_id"),
+                          ("pairs", res.pairs, "a"),
+                          ("rejects", res.rejects, "doc_id")]:
         d = os.path.join(out_dir, name)
-        os.makedirs(d, exist_ok=True)
-        ds.write_parquet(d)
-        counts[name] = ds.count()
+        n = ds.count()
+        if n:
+            manifest = resumable_write(ds, d, key, buckets=32)
+            counts[name] = int(manifest["rows"].sum())
+        else:
+            os.makedirs(d, exist_ok=True)
+            counts[name] = 0
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump({**res.metrics, **{f"n_{k}": v for k, v in counts.items()}},
                   f, indent=2, default=str)
