@@ -52,22 +52,61 @@ def _doc_counts(mask: np.ndarray, doc_off: np.ndarray) -> np.ndarray:
     return (s[doc_off[1:]] - s[doc_off[:-1]]).astype(np.int64)
 
 
+_CANON_CHUNK = 1 << 16             # 64 KiB of text per chunk: every mask /
+                                   # prefix-sum temporary stays L2-resident
+                                   # (same recipe as the tokenizer chunking
+                                   # — whole-batch temporaries anti-scale
+                                   # 32-way on this box, BASELINE.md)
+
+
 def canonical_bytes(arr) -> tuple:
     """Arrow string array -> (canon_bytes: uint8[N'], canon_offsets,
     raw_offsets, raw_bytes) with canon == canonicalize(text).encode().
 
-    DRAM-budget note: everything runs by boolean COMPRESSION (``a[mask]``)
+    DRAM-budget notes: everything runs by boolean COMPRESSION (``a[mask]``)
     and small-dtype prefix sums — no int64 index arrays, no searchsorted
-    over the byte space.  The first version materialized three 8x-sized
-    ``flatnonzero`` index arrays plus per-step ``searchsorted`` passes and
-    anti-scaled exactly like the simhash prefix matrix did in round 1
-    (memory-bound box; see BASELINE.md).
+    over the byte space — and the buffer is processed in doc-aligned
+    ~64 KiB chunks so the temporaries never leave cache.  (The
+    whole-batch variants of both decisions were built and MEASURED to
+    anti-scale at 32-way — flatnonzero/searchsorted v1, whole-batch-mask
+    v2; see BASELINE.md 'normalize impl shootout'.)
     """
     b, doc_off, ndocs = _string_parts(arr)
     n = len(b)
     if n == 0:
         z = np.zeros(ndocs + 1, dtype=np.int64)
         return np.empty(0, np.uint8), z, doc_off, b
+
+    canon_parts = []
+    counts_all = np.zeros(ndocs, dtype=np.int64)
+    d0 = 0
+    while d0 < ndocs:
+        d1 = int(np.searchsorted(doc_off, doc_off[d0] + _CANON_CHUNK,
+                                 side="left"))
+        d1 = min(max(d1, d0 + 1), ndocs)
+        cb, cnts = _canonical_span(b, doc_off, d0, d1)
+        if len(cb):
+            canon_parts.append(cb)
+        counts_all[d0:d1] = cnts
+        d0 = d1
+    canon = (np.concatenate(canon_parts) if canon_parts
+             else np.empty(0, np.uint8))
+    canon_off = np.concatenate(
+        [[0], np.cumsum(counts_all)]).astype(np.int64)
+    return canon, canon_off, doc_off, b
+
+
+def _canonical_span(b_full: np.ndarray, doc_off_full: np.ndarray,
+                    dlo: int, dhi: int) -> tuple:
+    """Canonical bytes + per-doc counts for docs [dlo, dhi) — every
+    temporary sized to the span."""
+    lo, hi = int(doc_off_full[dlo]), int(doc_off_full[dhi])
+    ndocs = dhi - dlo
+    n = hi - lo
+    if n == 0:
+        return np.empty(0, np.uint8), np.zeros(ndocs, dtype=np.int64)
+    b = b_full[lo:hi]
+    doc_off = doc_off_full[dlo:dhi + 1] - lo
 
     # --- step 1: CRLF/CR -> LF ------------------------------------------
     work = b.copy()
@@ -137,8 +176,7 @@ def canonical_bytes(arr) -> tuple:
         counts3 = np.zeros(ndocs, dtype=np.int64)
         canon = ks2
 
-    canon_off = np.concatenate([[0], np.cumsum(counts3)]).astype(np.int64)
-    return canon, canon_off, doc_off, b
+    return canon, counts3
 
 
 def normalize_hashes(arr, return_canonical: bool = False) -> dict:
