@@ -78,3 +78,32 @@ def test_hotband_override():
     corpus, truth = generate_corpus(500, seed=42, hotband_group=100)
     cls = np.array(truth["class"].to_pylist())
     assert (cls == "hotband").sum() == 100
+
+
+def test_corpus_sanity_report(ray_session):
+    """SURVEY §2.3 F4 (geometry-sanity analogue): null identity, null
+    content and duplicate doc_id are counted, not silently absorbed."""
+    import pyarrow as pa
+    import ray.data as rd
+    from vidupe_ray.sources.corpus_source import corpus_sanity
+    rows = {
+        "repo": ["r", "r", None, "r", "r"],
+        "path": ["a.py", "b.py", "c.py", "d.py", "d.py"],   # d twice
+        "commit": ["c" * 40] * 5,
+        "lang": ["py"] * 5,
+        "content": ["x = 1", None, "y = 2", "z = 3", "z = 3"],
+    }
+    t = pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+    rep = corpus_sanity(rd.from_arrow(t))
+    assert rep["n_rows"] == 5
+    assert rep["n_bad_identity"] == 1       # the None repo
+    assert rep["n_null_content"] == 1
+    assert rep["n_dup_doc_id"] == 2         # both copies of (r, d.py, c)
+
+    clean = pa.table({
+        "repo": pa.array(["r"] * 3), "path": pa.array(["a", "b", "c"]),
+        "commit": pa.array(["c" * 40] * 3), "lang": pa.array(["py"] * 3),
+        "content": pa.array(["1", "2", "3"])})
+    rep2 = corpus_sanity(rd.from_arrow(clean))
+    assert rep2 == {"n_rows": 3, "n_bad_identity": 0,
+                    "n_null_content": 0, "n_dup_doc_id": 0}

@@ -69,6 +69,10 @@ def main(argv=None):
                    help="lang allowlist entries (repeatable)")
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    p.add_argument("--validate", action="store_true",
+                   help="run the corpus sanity report (null identity / "
+                        "null content / duplicate doc_id) before the "
+                        "pipeline and include it in the summary")
     args = p.parse_args(argv)
 
     import ray
@@ -85,6 +89,10 @@ def main(argv=None):
     cfg = PipelineConfig(mode=args.mode, threshold_pct=args.threshold_pct,
                          lang_allowlist=tuple(args.lang))
     t0 = time.perf_counter()
+    sanity = None
+    if args.validate:
+        from vidupe_ray.sources.corpus_source import corpus_sanity
+        sanity = corpus_sanity(read_corpus(args.input), cfg)
     res = run_dedup(read_corpus(args.input), cfg,
                     checkpoint_dir=args.checkpoint_dir)
     counts = write_outputs(res, args.output)
@@ -94,6 +102,8 @@ def main(argv=None):
                "files_per_sec": round(
                    res.metrics.get("n_input", 0)
                    / max(time.perf_counter() - t0, 1e-9), 1)}
+    if sanity is not None:
+        summary["sanity"] = sanity
     print(json.dumps(summary))
     ray.shutdown()
     return 0

@@ -53,3 +53,62 @@ def documents_as_corpus(sf_dir: str, lang_allowlist: tuple = ()):
         })
 
     return ds.map_batches(_adapt, batch_format="pyarrow")
+
+
+def corpus_sanity(corpus_ds, cfg=None) -> dict:
+    """Ingest sanity report — the geometry-sanity analogue (SURVEY §2.3
+    F4; the reference rejects videos with impossible width/height,
+    ``video.cpp:31-35``).  Checks, all streaming:
+
+    - null / empty identity columns (repo, path, commit)
+    - null content (tagged later as rejects, but surfaced here up front)
+    - duplicate doc_id (identity-hash collisions or repeated
+      (repo, path, commit) rows — either corrupts clustering silently)
+
+    Returns a counts dict; never raises (callers decide policy).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ..config import DEFAULT_CONFIG
+    from ..stages.normalize import batch_doc_ids
+    from ..state import bucketing as B
+    cfg = cfg or DEFAULT_CONFIG
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        bad_ident = np.zeros(n, dtype=bool)
+        for c in ("repo", "path", "commit"):
+            if c in batch.column_names:
+                col = batch.column(c)
+                vals = col.to_pylist()
+                bad_ident |= np.array(
+                    [v is None or v == "" for v in vals], dtype=bool)
+        content = batch.column("content")
+        null_content = np.array(
+            [v is None for v in content.to_pylist()], dtype=bool)
+        ids = batch_doc_ids(batch)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "bad_ident": pa.array(bad_ident),
+            "null_content": pa.array(null_content)})
+
+    tagged = corpus_ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dupes = df["doc_id"].duplicated(keep=False)
+        return pd.DataFrame({
+            "n_rows": [len(df)],
+            "n_bad_identity": [int(df["bad_ident"].sum())],
+            "n_null_content": [int(df["null_content"].sum())],
+            "n_dup_doc_id": [int(dupes.sum())]})
+
+    per = B.grouped_map(tagged, "doc_id", B.bucket_of_ints, _bucket,
+                        num_buckets=cfg.join_buckets,
+                        batch_format="pandas")
+    agg = per.sum(["n_rows", "n_bad_identity", "n_null_content",
+                   "n_dup_doc_id"])
+    return {"n_rows": int(agg["sum(n_rows)"] or 0),
+            "n_bad_identity": int(agg["sum(n_bad_identity)"] or 0),
+            "n_null_content": int(agg["sum(n_null_content)"] or 0),
+            "n_dup_doc_id": int(agg["sum(n_dup_doc_id)"] or 0)}
