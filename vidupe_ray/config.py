@@ -100,6 +100,10 @@ class PipelineConfig:
                                     # large documents hit this first and switch
                                     # to the bucketed content join)
     join_buckets: int = 64        # buckets for the partitioned hash join fallback
+    grid_k: int = 8               # grid side for the two-key pair joins above
+                                  # broadcast_cap (k^2 cells; payload read per
+                                  # cell = |candidates| / k per side, slim pair
+                                  # rows are the only shuffled bytes)
     cc_small_graph_threshold: int = 200_000  # edge count below which the
                                   # duplicate graph is solved driver-side
                                   # (vectorized union-find); above it the

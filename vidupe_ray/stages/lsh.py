@@ -374,8 +374,7 @@ def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig,
     Returns a dataset of verified 'near' pairs and surviving
     'contain_cand' pairs (for the substring confirm).
     """
-    from ..state.joins import (bucketed_enrich, filter_by_key_shards,
-                               sharded_key_refs)
+    from ..state.joins import filter_by_key_shards, sharded_key_refs
     import ray.data as rd
     if n_pairs is None:
         n_pairs = pairs_ds.count()
@@ -383,29 +382,38 @@ def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig,
         return rd.from_arrow(_empty_pairs())
 
     if 2 * n_pairs > cfg.broadcast_cap:
-        # ---- bucketed signature join (the 100x-scale path) -------------
+        # ---- grid signature join (the 100x-scale path) ------------------
+        # Only the SLIM pair rows shuffle (into a k x k cell grid);
+        # candidate signatures are sharded once by builder tasks and read
+        # zero-copy per cell (state/joins.grid_pair_apply) — the 1 KiB
+        # signatures never ride a sort shuffle.
+        from ..state.joins import grid_pair_apply
         refs = sharded_key_refs(pair_id_ds(pairs_ds), "doc_id",
                                 cfg.join_buckets)
         sig_sub = filter_by_key_shards(
             signatures_ds.select_columns(["doc_id", "minhash"]),
-            "doc_id", refs).materialize()
-        enriched = bucketed_enrich(
-            bucketed_enrich(pairs_ds, "a", sig_sub, "doc_id",
-                            {"minhash": "__mh_a__"},
-                            buckets=cfg.join_buckets),
-            "b", sig_sub, "doc_id", {"minhash": "__mh_b__"},
-            buckets=cfg.join_buckets)
+            "doc_id", refs)
 
-        def _verify_joined(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
+        def _verify_cell(cell: pa.Table, sa, sb) -> pa.Table:
+            if cell.num_rows == 0 or sa[1] is None or sb[1] is None:
                 return _empty_pairs()
-            mh_a = fsl_matrix(batch, "__mh_a__", cfg.num_perms)
-            mh_b = fsl_matrix(batch, "__mh_b__", cfg.num_perms)
+            ids_a, tbl_a = sa
+            ids_b, tbl_b = sb
+            a = cell.column("a").to_numpy(zero_copy_only=False)
+            b_ = cell.column("b").to_numpy(zero_copy_only=False)
+            ia = np.minimum(np.searchsorted(ids_a, a), len(ids_a) - 1)
+            ib = np.minimum(np.searchsorted(ids_b, b_), len(ids_b) - 1)
+            hit = (ids_a[ia] == a) & (ids_b[ib] == b_)
+            if not hit.all():        # defensive: every candidate id must
+                cell = cell.filter(pa.array(hit))   # have a signature
+                ia, ib = ia[hit], ib[hit]
+            mh_a = fsl_matrix(tbl_a, "minhash", cfg.num_perms)[ia]
+            mh_b = fsl_matrix(tbl_b, "minhash", cfg.num_perms)[ib]
             jac = S.jaccard_from_minhash(mh_a, mh_b)
-            slim = batch.drop_columns(["__mh_a__", "__mh_b__"])
-            return apply_pair_decision(slim, jac, cfg)
+            return apply_pair_decision(cell, jac, cfg)
 
-        return enriched.map_batches(_verify_joined, batch_format="pyarrow")
+        return grid_pair_apply(pairs_ds, sig_sub, _verify_cell,
+                               k=cfg.grid_k)
 
     # ---- broadcast signature fetch (the fast path under the cap) --------
     from .verify_contain import collect_ids

@@ -257,6 +257,113 @@ def lookup_join(left_ds, key_col: str, mapping_ds, map_key: str,
 
 
 # --------------------------------------------------------------------------
+# grid pair join: slim-only shuffle for two-key payload joins
+# --------------------------------------------------------------------------
+
+_SHARD_CACHE: dict = {}
+_SHARD_CACHE_MAX = 24
+
+
+def _grid_builder_fn(k: int, right_key: str):
+    @ray.remote(num_cpus=1)
+    def _builder(*tables):
+        t = pa.concat_tables([x for x in tables if x.num_rows])
+        if t.num_rows == 0:
+            empty = tables[0].schema.empty_table()
+            return tuple((np.empty(0, np.int64), empty)
+                         for _ in range(k))
+        ids = t.column(right_key).to_numpy(zero_copy_only=False)
+        b = bucket_of_ints(ids, k)
+        outs = []
+        for bb in range(k):
+            sel = np.flatnonzero(b == bb)
+            ids_s = ids[sel]
+            order = np.argsort(ids_s, kind="stable")
+            sub = t.take(pa.array(sel[order], pa.int64()))
+            outs.append((ids_s[order], sub))
+        return tuple(outs)
+    return _builder
+
+
+def _merged_shard(refs_token, bucket: int, shard_refs):
+    """Per-process cache of the merged (sorted ids, payload table) for one
+    grid bucket — cells sharing a bucket (on either side) re-use the
+    merge."""
+    key = (refs_token, bucket)
+    hit = _SHARD_CACHE.get(key)
+    if hit is None:
+        parts = ray.get([r[bucket] for r in shard_refs])
+        ids = np.concatenate([p[0] for p in parts]) if parts else \
+            np.empty(0, np.int64)
+        tbls = [p[1] for p in parts if p[1].num_rows]
+        order = np.argsort(ids, kind="stable")
+        tbl = (pa.concat_tables(tbls).take(pa.array(order, pa.int64()))
+               if tbls else None)
+        hit = (ids[order], tbl)
+        if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE[key] = hit
+    return hit
+
+
+def grid_pair_apply(pairs_ds, right_ds, apply_fn, k: int = 8,
+                    right_key: str = "doc_id",
+                    a_col: str = "a", b_col: str = "b",
+                    blocks_per_builder: int = 8):
+    """Two-key payload join where ONLY THE SLIM PAIR ROWS SHUFFLE.
+
+    The naive plan enriches pairs twice (``bucketed_enrich`` on a, then
+    b), dragging the payload (1 KiB MinHash signatures, document content)
+    through two sort shuffles.  Here:
+
+    1. ``right_ds`` (materialized) is split into per-bucket sorted shards
+       by a handful of builder TASKS (``num_returns=k`` each) — payload
+       never crosses a shuffle, builders hold only their own blocks.
+    2. pairs are tagged with cell ``bucket(a) * k + bucket(b)`` and
+       grouped by cell — a shuffle of the tiny pair rows only.
+    3. each cell task merges its two buckets' shard partials (zero-copy
+       plasma reads, per-process cached — cells sharing a bucket reuse
+       the merge) and calls
+       ``apply_fn(cell_tbl, (ids_a, tbl_a), (ids_b, tbl_b))``.
+
+    The partitioning assumption: ``right_key`` is unique per row (doc_id);
+    payload volume read per cell is ``|right| / k`` per side.
+    """
+    mat = right_ds.materialize()
+    block_refs = list(mat.to_arrow_refs())
+    builder = _grid_builder_fn(k, right_key)
+    shard_refs = []
+    for i in range(0, max(len(block_refs), 1), blocks_per_builder):
+        chunk = block_refs[i:i + blocks_per_builder]
+        if not chunk:
+            continue
+        shard_refs.append(list(
+            builder.options(num_returns=k).remote(*chunk)))
+    refs_ref = ray.put(shard_refs)
+    token = refs_ref.hex() if hasattr(refs_ref, "hex") else str(refs_ref)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False)
+        b = t.column(b_col).to_numpy(zero_copy_only=False)
+        cell = (bucket_of_ints(a, k) * k + bucket_of_ints(b, k))
+        return t.append_column("__cell__", pa.array(cell, pa.int64()))
+
+    tagged = pairs_ds.map_batches(_tag, batch_format="pyarrow")
+
+    def _apply(t: pa.Table) -> pa.Table:
+        cell = int(t.column("__cell__")[0].as_py())
+        t = t.drop_columns(["__cell__"])
+        refs = ray.get(refs_ref)
+        sa = _merged_shard(token, cell // k, refs)
+        sb = _merged_shard(token, cell % k, refs)
+        return apply_fn(t, sa, sb)
+
+    return grouped_map(tagged, "__cell__",
+                       lambda v, n: v.astype(np.int64) % n, _apply,
+                       num_buckets=k * k, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # worker-side dataset broadcast (no driver round-trip)
 # --------------------------------------------------------------------------
 
