@@ -15,10 +15,11 @@ SURVEY.md §7.4), with two cap-gated plans:
   ``broadcast_bytes_cap``): the candidate (doc_id, content_canon) columns
   are collected as sorted Arrow arrays and ``ray.put`` once; each confirm
   batch probes by ``searchsorted`` — no Python dict, no per-pair hashing.
-- BUCKETED (above either cap): candidate content is id-filtered in place
-  (sharded key refs), then joined onto the pair rows by two
-  ``bucketed_enrich`` shuffles.  Only candidate content crosses the wire,
-  and no single object ever holds all of it.
+- GRID (above either cap): candidate content is id-filtered in place
+  (sharded key refs), sharded once by builder tasks, and joined onto the
+  pair rows by a k x k grid join where ONLY the slim pair rows shuffle
+  (``state/joins.grid_pair_apply``); no single object ever holds all of
+  the content.
 """
 
 from __future__ import annotations
@@ -72,8 +73,7 @@ def confirm_containment(cand_pairs_ds, winners_ds, cfg: PipelineConfig,
     """
     from ..functions.text import canonicalize
     from .lsh import _empty_pairs
-    from ..state.joins import (bucketed_enrich, filter_by_key_shards,
-                               sharded_key_refs)
+    from ..state.joins import filter_by_key_shards, sharded_key_refs
     import ray.data as rd
     if n_pairs is None:
         n_pairs = cand_pairs_ds.count()
@@ -154,26 +154,35 @@ def confirm_containment(cand_pairs_ds, winners_ds, cfg: PipelineConfig,
                                              batch_format="pyarrow",
                                              batch_size=4096)
 
-    # ---- bucketed content join (count or bytes over cap) ----------------
-    enriched = bucketed_enrich(
-        bucketed_enrich(cand_pairs_ds, "a", subset, "doc_id",
-                        {"content_canon": "__txt_a__"},
-                        buckets=cfg.join_buckets),
-        "b", subset, "doc_id", {"content_canon": "__txt_b__"},
-        buckets=cfg.join_buckets)
+    # ---- grid content join (count or bytes over cap) --------------------
+    # Only the slim pair rows shuffle; candidate content is sharded once
+    # by builder tasks and read zero-copy per grid cell — canonical text
+    # never rides a sort shuffle (state/joins.grid_pair_apply).
+    from ..state.joins import grid_pair_apply
 
-    def _confirm_joined(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+    def _confirm_cell(cell: pa.Table, sa, sb) -> pa.Table:
+        if cell.num_rows == 0 or sa[1] is None or sb[1] is None:
             return _empty_pairs()
-        ta = batch.column("__txt_a__").to_pylist()
-        tb = batch.column("__txt_b__").to_pylist()
-        keep = _substring_keep(ta, tb)
-        out = batch.drop_columns(["__txt_a__", "__txt_b__"]).filter(
-            pa.array(keep))
-        return _mark_contained(out)
+        ids_a, tbl_a = sa
+        ids_b, tbl_b = sb
+        a_arr = cell.column("a").to_numpy(zero_copy_only=False)
+        b_arr = cell.column("b").to_numpy(zero_copy_only=False)
+        ia = np.minimum(np.searchsorted(ids_a, a_arr), len(ids_a) - 1)
+        ib = np.minimum(np.searchsorted(ids_b, b_arr), len(ids_b) - 1)
+        hit = (ids_a[ia] == a_arr) & (ids_b[ib] == b_arr)
+        col_a = tbl_a.column("content_canon")
+        col_b = tbl_b.column("content_canon")
+        if isinstance(col_a, pa.ChunkedArray):
+            col_a = col_a.combine_chunks()
+        if isinstance(col_b, pa.ChunkedArray):
+            col_b = col_b.combine_chunks()
+        ta = col_a.take(pa.array(ia, pa.int64())).to_pylist()
+        tb = col_b.take(pa.array(ib, pa.int64())).to_pylist()
+        keep = _substring_keep(ta, tb) & hit
+        return _mark_contained(cell.filter(pa.array(keep)))
 
-    return enriched.map_batches(_confirm_joined, batch_format="pyarrow",
-                                batch_size=4096)
+    return grid_pair_apply(cand_pairs_ds, subset, _confirm_cell,
+                           k=cfg.grid_k)
 
 
 def pair_id_ds_local(pairs_ds):
