@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .bucketing import BUCKET_COL, bucket_of_ints, grouped_map
+from .bucketing import bucket_of_ints, grouped_map
 
 _JK = "__jk__"
 _SIDE = "__side__"
