@@ -1,7 +1,7 @@
 """Partitioned join utilities — the explicit scale path when a broadcast
 join would not fit (ray_guide.md 'Joins and lookups').
 
-Three primitives cover every join in the engine; each is cap-gated by the
+Five primitives cover every join in the engine; each is cap-gated by the
 caller (broadcast below ``cfg.broadcast_cap``, these above it):
 
 - ``sharded_key_refs`` + ``filter_by_key_shards`` — semi/anti join of a
@@ -19,6 +19,13 @@ caller (broadcast below ``cfg.broadcast_cap``, these above it):
   assignment: broadcast when the map fits ``cap`` (one ``ray.put``,
   vectorized gather per batch), ``bucketed_enrich`` above it.  Missing
   keys default to the key itself (the singleton-maps-to-self semantic).
+- ``grid_pair_apply`` — the two-key payload join (pair verification /
+  containment): slim pair rows shuffle into a k x k grid of cells while
+  the payload is sharded once by builder tasks and read zero-copy per
+  cell — heavy columns never ride a sort shuffle.
+- ``build_broadcast`` — under-cap fast path: the probe structure is
+  built in ONE remote task from materialized block refs (the driver
+  never streams the data; workers never each rebuild it).
 
 Group size under ``bucketed_enrich`` is ``n / buckets`` by uniform hash
 (doc_id is itself a hash), so key skew cannot blow up one reducer.
