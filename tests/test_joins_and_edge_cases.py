@@ -206,3 +206,50 @@ def test_pin_corpus_auto_gate(ray_session, tmp_path):
                                     pin_corpus_fraction=0.0))
     assert res2.metrics["pin_corpus_auto"] is False    # over the fraction
     assert res2.metrics["corpus_bytes_estimate"] > 0
+
+
+def test_grid_pair_apply_matches_pandas_merge(ray_session):
+    """Unit-level check of the grid join against a pandas double-merge
+    reference: random pairs x random payload, every cell path exercised."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from vidupe_ray.state.joins import grid_pair_apply
+
+    rng = np.random.RandomState(9)
+    ids = rng.permutation(20_000)[:5000].astype(np.int64)
+    payload = pd.DataFrame({"doc_id": ids,
+                            "val": rng.randint(0, 1 << 40, size=5000)
+                            .astype("int64")})
+    a = rng.choice(ids, size=3000).astype(np.int64)
+    b = rng.choice(ids, size=3000).astype(np.int64)
+    pairs = pd.DataFrame({"a": a, "b": b})
+
+    def _cell(cell: pa.Table, sa, sb) -> pa.Table:
+        if cell.num_rows == 0 or sa[1] is None or sb[1] is None:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("s", pa.int64())]).empty_table()
+        ids_a, tbl_a = sa
+        ids_b, tbl_b = sb
+        aa = cell.column("a").to_numpy(zero_copy_only=False)
+        bb = cell.column("b").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(ids_a, aa)
+        ib = np.searchsorted(ids_b, bb)
+        va = tbl_a.column("val").to_numpy(zero_copy_only=False)[ia]
+        vb = tbl_b.column("val").to_numpy(zero_copy_only=False)[ib]
+        return pa.table({"a": pa.array(aa), "b": pa.array(bb),
+                         "s": pa.array(va + vb, pa.int64())})
+
+    got = grid_pair_apply(
+        rd.from_pandas(pairs).repartition(6),
+        rd.from_pandas(payload).repartition(5),
+        _cell, k=4, blocks_per_builder=2).to_pandas()
+    want = (pairs.merge(payload.rename(columns={"doc_id": "a",
+                                                "val": "va"}), on="a")
+            .merge(payload.rename(columns={"doc_id": "b", "val": "vb"}),
+                   on="b"))
+    want["s"] = want["va"] + want["vb"]
+    g = got.sort_values(["a", "b", "s"]).reset_index(drop=True)
+    w = want[["a", "b", "s"]].sort_values(["a", "b", "s"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
