@@ -28,6 +28,30 @@ os.environ.setdefault("MALLOC_ARENA_MAX", "4")
 os.environ.setdefault("PYTHONMALLOC", "malloc")
 
 
+def preflight() -> dict:
+    """Environment probe — the ``detectffmpeg`` analogue (SURVEY §2.1 S4;
+    the reference refuses to start without its external tool,
+    ``mainwindow.cpp:37-44``).  Verifies the execution environment and
+    returns the facts for the lineage record; raises on a broken setup
+    instead of failing mid-pipeline."""
+    import ray
+    if not ray.is_initialized():
+        raise RuntimeError("preflight: Ray is not initialised")
+    r = ray.cluster_resources()
+    cpus = int(r.get("CPU", 0))
+    store = int(r.get("object_store_memory", 0))
+    if cpus < 1:
+        raise RuntimeError("preflight: no CPUs in the Ray cluster")
+    if store < (1 << 28):
+        raise RuntimeError(
+            f"preflight: object store too small ({store} bytes)")
+    import numpy, pyarrow
+    return {"ray": ray.__version__, "numpy": numpy.__version__,
+            "pyarrow": pyarrow.__version__, "cpus": cpus,
+            "object_store_bytes": store,
+            "nodes": len([n for n in ray.nodes() if n.get("Alive")])}
+
+
 def write_outputs(res, out_dir: str) -> dict:
     """Resumable partitioned parquet per output dataset + metrics json.
 
@@ -88,6 +112,10 @@ def main(argv=None):
 
     cfg = PipelineConfig(mode=args.mode, threshold_pct=args.threshold_pct,
                          lang_allowlist=tuple(args.lang))
+    env = preflight()
+    if args.checkpoint_dir:
+        from vidupe_ray.state.checkpoint import write_lineage
+        write_lineage(args.checkpoint_dir, "preflight", env)
     t0 = time.perf_counter()
     sanity = None
     if args.validate:
