@@ -100,10 +100,17 @@ class PipelineConfig:
                                     # large documents hit this first and switch
                                     # to the bucketed content join)
     join_buckets: int = 64        # buckets for the partitioned hash join fallback
-    grid_k: int = 8               # grid side for the two-key pair joins above
-                                  # broadcast_cap (k^2 cells; payload read per
-                                  # cell = |candidates| / k per side, slim pair
-                                  # rows are the only shuffled bytes)
+    grid_k: int = 8               # grid side for the two-key pair joins (k^2
+                                  # cells; payload read per cell =
+                                  # |candidates| / k per side, slim pair rows
+                                  # are the only shuffled bytes)
+    verify_grid_floor: int = 200_000  # candidate-id count above which phase-2
+                                  # verification uses the grid join even under
+                                  # broadcast_cap — measured FASTER than the
+                                  # broadcast probe at 500k docs (2.9 vs 3.7 s
+                                  # @ 8 cpus, 4.0 vs 6.7 s @ 32: parallel
+                                  # shard builders beat the single-task probe
+                                  # build); tiny runs keep the broadcast plan
     cc_small_graph_threshold: int = 200_000  # edge count below which the
                                   # duplicate graph is solved driver-side
                                   # (vectorized union-find); above it the

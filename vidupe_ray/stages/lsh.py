@@ -381,7 +381,7 @@ def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig,
     if n_pairs == 0:
         return rd.from_arrow(_empty_pairs())
 
-    if 2 * n_pairs > cfg.broadcast_cap:
+    if 2 * n_pairs > min(cfg.broadcast_cap, cfg.verify_grid_floor):
         # ---- grid signature join (the 100x-scale path) ------------------
         # Only the SLIM pair rows shuffle (into a k x k cell grid);
         # candidate signatures are sharded once by builder tasks and read
