@@ -85,10 +85,12 @@ def run_bench() -> dict:
     # ---- headline: end-to-end dedup on the bench corpus -----------------
     # best-of-2: the shared VM's memory subsystem swings run-to-run by up
     # to 2x (BASELINE.md host-noise caveat); both raw values are reported
+    from vidupe_ray.sources.corpus_source import read_corpus
     headline_runs = []
     for _ in range(2):
         t0 = time.perf_counter()
-        res = run_dedup(rd.read_parquet(cdir), cfg)
+        res = run_dedup(read_corpus(cdir, num_blocks=2 * NUM_CPUS), cfg,
+                        skip_repartition=True)
         n_clusters = res.clusters.count()
         headline_runs.append(time.perf_counter() - t0)
     headline = min(headline_runs)

@@ -77,8 +77,14 @@ def corpus_size_estimate(ds) -> int:
 
 
 def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
-              checkpoint_dir: str | None = None) -> DedupResult:
-    """Ray must already be initialised by the caller (driver contract)."""
+              checkpoint_dir: str | None = None,
+              skip_repartition: bool = False) -> DedupResult:
+    """Ray must already be initialised by the caller (driver contract).
+
+    ``skip_repartition=True``: the caller guarantees the input already has
+    a pipeline-friendly block count (e.g. ``read_corpus(...,
+    num_blocks=2*cpus)`` — reader-side row-group splitting, no all-to-all;
+    a wrong block count costs throughput, never correctness)."""
     cfg = cfg or PipelineConfig()
     metrics = {}
     t0 = time.perf_counter()
@@ -118,8 +124,9 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     # end-to-end (45.7 s -> 70.9 s back-to-back): 32 fat blocks starve the
     # 2x-CPUs task slack every downstream stage relies on.
     est = corpus_size_estimate(corpus_ds)
-    corpus = corpus_ds.repartition(nblocks).map_batches(
-        _stamp_ids, batch_format="pyarrow")
+    if not skip_repartition:
+        corpus_ds = corpus_ds.repartition(nblocks)
+    corpus = corpus_ds.map_batches(_stamp_ids, batch_format="pyarrow")
     pin = cfg.pin_corpus
     if pin is None:
         # auto gate: pin only when the corpus fits comfortably in the

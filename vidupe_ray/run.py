@@ -121,8 +121,10 @@ def main(argv=None):
     if args.validate:
         from vidupe_ray.sources.corpus_source import corpus_sanity
         sanity = corpus_sanity(read_corpus(args.input), cfg)
-    res = run_dedup(read_corpus(args.input), cfg,
-                    checkpoint_dir=args.checkpoint_dir)
+    res = run_dedup(read_corpus(args.input,
+                                num_blocks=2 * args.num_cpus), cfg,
+                    checkpoint_dir=args.checkpoint_dir,
+                    skip_repartition=True)
     counts = write_outputs(res, args.output)
     report = cluster_report(res.clusters)
     summary = {"wall_sec": round(time.perf_counter() - t0, 2),

@@ -15,11 +15,19 @@ CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
 def read_corpus(paths, lang_allowlist: tuple = (),
-                columns=None):
-    """read_parquet with column pruning + lang predicate pushdown."""
+                columns=None, num_blocks: int | None = None):
+    """read_parquet with column pruning + lang predicate pushdown.
+
+    ``num_blocks`` uses the reader's own row-group splitting
+    (``override_num_blocks``) to land at the target block count WITHOUT
+    the repartition all-to-all — measured 1.8 s vs 4.3-7.5 s for the
+    500k-doc pin; pass it together with ``run_dedup(...,
+    skip_repartition=True)``."""
     kw = {}
     if lang_allowlist:
         kw["filter"] = pads.field("lang").isin(list(lang_allowlist))
+    if num_blocks:
+        kw["override_num_blocks"] = num_blocks
     return rd.read_parquet(paths, columns=columns or CORPUS_COLUMNS, **kw)
 
 
