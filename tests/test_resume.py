@@ -176,3 +176,45 @@ def test_resumable_partitioned_output(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         back3.reset_index(drop=True),
         df.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_signature_fast_path_and_corpus_change_safety(ray_session, tmp_path):
+    """Fast path: an unchanged corpus re-run reads the signature
+    checkpoint with no filters (signatures_fast_path).  Safety: after the
+    corpus CHANGES, the superset checkpoint must never be fast-pathed —
+    stale signatures of removed docs must not reach LSH."""
+    import os
+    import ray.data as rd
+    import pandas as pd
+    from vidupe_ray.corpus import write_corpus
+    from vidupe_ray.config import PipelineConfig
+    from vidupe_ray.pipelines.dedup import run_dedup
+
+    cdir = write_corpus(str(tmp_path / "A"), 260, seed=21)
+    ck = str(tmp_path / "ck")
+    cfg = PipelineConfig(fingerprint_concurrency=2)
+    r1 = run_dedup(rd.read_parquet(cdir), cfg, checkpoint_dir=ck)
+    assert r1.metrics["signatures_fast_path"] is False
+    r2 = run_dedup(rd.read_parquet(cdir), cfg, checkpoint_dir=ck)
+    assert r2.metrics["signatures_fast_path"] is True
+    c1 = (r1.clusters.to_pandas()[["doc_id", "cluster_id"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    c2 = (r2.clusters.to_pandas()[["doc_id", "cluster_id"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(c1, c2)
+
+    # corpus change: drop a shard -> fewer docs; superset checkpoint must
+    # go through the validity filter, and results must equal a fresh run
+    parts = sorted(os.listdir(cdir))
+    os.remove(os.path.join(cdir, parts[0]))
+    r3 = run_dedup(rd.read_parquet(cdir), cfg, checkpoint_dir=ck)
+    assert r3.metrics["signatures_fast_path"] is False
+    fresh = run_dedup(rd.read_parquet(cdir), cfg)    # no checkpoint
+    c3 = (r3.clusters.to_pandas()[["doc_id", "cluster_id"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    cf = (fresh.clusters.to_pandas()[["doc_id", "cluster_id"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(c3, cf)
+    # and the shrunken corpus never regains the unsafe fast path
+    r4 = run_dedup(rd.read_parquet(cdir), cfg, checkpoint_dir=ck)
+    assert r4.metrics["signatures_fast_path"] is False

@@ -182,11 +182,13 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     t1 = time.perf_counter()
     if checkpoint_dir:
         from ..state.checkpoint import resume_signatures
-        signatures, n_cached, _ = resume_signatures(
+        signatures, n_cached, n_delta = resume_signatures(
             winners, checkpoint_dir, cfg,
-            lambda ds: fingerprint_dataset(ds, cfg))
+            lambda ds: fingerprint_dataset(ds, cfg),
+            corpus_key=meta_key)
         metrics["signatures_resumed"] = n_cached > 0
         metrics["n_signatures_cached"] = n_cached
+        metrics["signatures_fast_path"] = n_delta == -1
         signatures = signatures.materialize()
     else:
         # signatures feed LSH and are re-read by reports/queries: pin

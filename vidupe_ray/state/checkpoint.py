@@ -71,8 +71,19 @@ def cached_doc_ids(checkpoint_dir: str, cfg) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
+def _read_manifest(checkpoint_dir: str, cfg) -> dict:
+    p = os.path.join(_sig_dir(checkpoint_dir, cfg), _MANIFEST)
+    if not os.path.exists(p):
+        return {}
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def resume_signatures(winners_ds, checkpoint_dir: str, cfg,
-                      fingerprint_fn) -> tuple:
+                      fingerprint_fn, corpus_key: str | None = None) -> tuple:
     """Per-document incremental resume.
 
     ``fingerprint_fn(ds) -> signatures_ds`` fingerprints a winner subset.
@@ -81,11 +92,18 @@ def resume_signatures(winners_ds, checkpoint_dir: str, cfg,
     winners only) and the freshly computed delta; the delta is persisted
     before returning, so a later kill never loses it.
 
-    The cached-id set is ≈ the corpus, so it is never collected on the
-    driver: both resume joins (winner \\ cached -> delta;
-    cached ∩ winner -> reuse) run through sharded key refs
-    (state/joins.py) — one shard of ids in driver memory at a time,
-    bucket-hashed shards above ``broadcast_cap``.
+    FAST PATH: when the manifest records that this checkpoint is COMPLETE
+    for exactly ``corpus_key`` (the file-identity key — previous run wrote
+    signatures for precisely this corpus's winners), the checkpoint is
+    read back directly — no corpus scan, no id filters at all (measured
+    at 2M docs: the validity filters cost more than recomputing).  The
+    manifest is deleted before any delta append and rewritten after, so
+    a mid-run kill can only downgrade to the safe slow path.
+
+    Slow path: the cached-id set is ≈ the corpus, so it is never
+    collected on the driver — both resume joins (winner \\ cached ->
+    delta; cached ∩ winner -> reuse) run through sharded key refs
+    (state/joins.py), one shard of ids in driver memory at a time.
     """
     from .joins import filter_by_key_shards, sharded_key_refs
     from ..stages.normalize import batch_doc_ids
@@ -98,6 +116,14 @@ def resume_signatures(winners_ds, checkpoint_dir: str, cfg,
     for stale in glob.glob(os.path.join(_sig_dir(checkpoint_dir, cfg),
                                         "tmp-*")):
         shutil.rmtree(stale, ignore_errors=True)
+
+    man = _read_manifest(checkpoint_dir, cfg)
+    if (corpus_key is not None and man.get("complete")
+            and man.get("corpus_key") == corpus_key
+            and glob.glob(os.path.join(d, "*.parquet"))):
+        sigs = rd.read_parquet(d)
+        return sigs, sigs.count(), -1          # -1: fast path marker
+
     cached_ds = cached_doc_ids_ds(checkpoint_dir, cfg)
     n_cached = cached_ds.count() if cached_ds is not None else 0
     cached_buckets = (1 if n_cached <= cfg.broadcast_cap
@@ -117,6 +143,14 @@ def resume_signatures(winners_ds, checkpoint_dir: str, cfg,
                                    invert=True)
     delta = fingerprint_fn(missing)
 
+    # invalidate the manifest BEFORE appending: a kill mid-append leaves
+    # no manifest -> next run takes the safe slow path, never a fast-path
+    # read of a superset directory
+    try:
+        os.remove(os.path.join(_sig_dir(checkpoint_dir, cfg), _MANIFEST))
+    except OSError:
+        pass
+
     # persist the delta as NEW part files: write to a scratch dir, then
     # atomically rename each finished part in — a mid-run kill leaves only
     # an ignorable scratch dir, never a truncated parquet in data/
@@ -134,7 +168,10 @@ def resume_signatures(winners_ds, checkpoint_dir: str, cfg,
 
     if n_cached == 0:
         sigs = rd.read_parquet(d)
-        _write_manifest(checkpoint_dir, cfg)
+        # fresh dir == exactly this corpus's winner signatures -> the
+        # next unchanged-corpus run may read it back without any filter
+        _write_manifest(checkpoint_dir, cfg, corpus_key=corpus_key,
+                        complete=corpus_key is not None)
         return sigs, 0, n_delta_files
 
     # reuse cached rows, but only those that are STILL winners (a changed
@@ -146,14 +183,20 @@ def resume_signatures(winners_ds, checkpoint_dir: str, cfg,
     w_buckets = 1 if n_w <= cfg.broadcast_cap else cfg.join_buckets
     w_refs = sharded_key_refs(winner_ids, "doc_id", w_buckets)
     sigs = filter_by_key_shards(all_sigs, "doc_id", w_refs)
-    _write_manifest(checkpoint_dir, cfg)
+    # delta resume: the directory is a SUPERSET of this corpus's winners
+    # (it may hold signatures of since-removed docs) -> never fast-path it
+    _write_manifest(checkpoint_dir, cfg, corpus_key=corpus_key,
+                    complete=False)
     return sigs, n_cached, n_delta_files
 
 
-def _write_manifest(checkpoint_dir: str, cfg):
+def _write_manifest(checkpoint_dir: str, cfg, corpus_key=None,
+                    complete=False):
     with open(os.path.join(_sig_dir(checkpoint_dir, cfg), _MANIFEST),
               "w") as f:
-        json.dump({"config_hash": cfg.signature_config_hash}, f)
+        json.dump({"config_hash": cfg.signature_config_hash,
+                   "corpus_key": corpus_key, "complete": bool(complete)},
+                  f)
 
 
 def corpus_cache_key(corpus_ds, cfg) -> str | None:
