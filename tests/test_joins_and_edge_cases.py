@@ -253,3 +253,45 @@ def test_grid_pair_apply_matches_pandas_merge(ray_session):
     w = want[["a", "b", "s"]].sort_values(["a", "b", "s"]) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w)
+
+
+def test_grid_pair_apply_all_empty_builder_chunk(ray_session):
+    """ADVICE r2 (high): a builder chunk made ENTIRELY of empty blocks
+    must not crash concat_tables — this is the routine shape after
+    filter_by_key_shards leaves sparse candidates over many corpus
+    blocks."""
+    import ray.data as rd
+    from vidupe_ray.state.joins import grid_pair_apply
+
+    schema = pa.schema([("doc_id", pa.int64()), ("val", pa.int64())])
+    empty = schema.empty_table()
+    data = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                     "val": pa.array([10, 20, 30], pa.int64())})
+    # blocks: [empty, empty] -> first builder chunk is all-empty
+    right = rd.from_arrow([empty, empty, data, empty])
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"a": np.array([1, 1, 2], np.int64),
+         "b": np.array([2, 3, 3], np.int64)}))
+
+    def _cell(cell: pa.Table, sa, sb) -> pa.Table:
+        out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("s", pa.int64())])
+        if cell.num_rows == 0 or sa[1] is None or sb[1] is None:
+            return out_schema.empty_table()
+        ids_a, tbl_a = sa
+        ids_b, tbl_b = sb
+        aa = cell.column("a").to_numpy(zero_copy_only=False)
+        bb = cell.column("b").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(ids_a, aa)
+        ib = np.searchsorted(ids_b, bb)
+        va = tbl_a.column("val").to_numpy(zero_copy_only=False)[ia]
+        vb = tbl_b.column("val").to_numpy(zero_copy_only=False)[ib]
+        return pa.table({"a": pa.array(aa), "b": pa.array(bb),
+                         "s": pa.array(va + vb, pa.int64())})
+
+    got = grid_pair_apply(pairs, right, _cell, k=2,
+                          blocks_per_builder=2).to_pandas()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    want = pd.DataFrame({"a": [1, 1, 2], "b": [2, 3, 3],
+                         "s": [30, 40, 50]}).astype("int64")
+    pd.testing.assert_frame_equal(got, want)

@@ -218,3 +218,38 @@ def test_signature_fast_path_and_corpus_change_safety(ray_session, tmp_path):
     # and the shrunken corpus never regains the unsafe fast path
     r4 = run_dedup(rd.read_parquet(cdir), cfg, checkpoint_dir=ck)
     assert r4.metrics["signatures_fast_path"] is False
+
+
+def test_resumable_output_identity_wipes_stale(ray_session, tmp_path):
+    """ADVICE r2: a re-run into the same out_dir with a DIFFERENT run
+    identity (corpus/config changed) must wipe the stale partitions, not
+    mix them with fresh ones; same identity keeps the skip fast path and
+    skipped rows report the EXISTING file's row count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from vidupe_ray.state.output import resumable_write, read_partitioned
+
+    d = str(tmp_path / "out")
+    df1 = pd.DataFrame({"doc_id": np.arange(100, dtype="int64"),
+                        "v": np.ones(100, dtype="int64")})
+    m1 = resumable_write(rd.from_pandas(df1), d, "doc_id", buckets=4,
+                         identity="runA")
+    assert not m1["skipped"].any()
+
+    # same identity, different (bigger) dataset -> partitions are SKIPPED
+    # and the manifest reports what's actually on disk (df1's 100 rows)
+    df2 = pd.DataFrame({"doc_id": np.arange(200, dtype="int64"),
+                        "v": np.zeros(200, dtype="int64")})
+    m2 = resumable_write(rd.from_pandas(df2), d, "doc_id", buckets=4,
+                         identity="runA")
+    assert m2["skipped"].all()
+    assert int(m2["rows"].sum()) == 100
+
+    # changed identity -> stale parts wiped, df2 fully written
+    m3 = resumable_write(rd.from_pandas(df2), d, "doc_id", buckets=4,
+                         identity="runB")
+    assert not m3["skipped"].any()
+    back = read_partitioned(d).to_pandas()
+    assert len(back) == 200
+    assert (back.sort_values("doc_id")["v"].to_numpy() == 0).all()

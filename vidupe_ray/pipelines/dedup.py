@@ -118,12 +118,14 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
         return batch.append_column(
             "doc_id", pa.array(batch_doc_ids(batch), pa.int64()))
 
-    # size estimate BEFORE any transform (input_files() is only visible
-    # on the raw read plan).  NOTE: skipping the repartition when the
-    # source block count "looks fine" was tried and measured 55% SLOWER
-    # end-to-end (45.7 s -> 70.9 s back-to-back): 32 fat blocks starve the
-    # 2x-CPUs task slack every downstream stage relies on.
-    est = corpus_size_estimate(corpus_ds)
+    # size estimate from the PRE-FILTER handle (input_files() returns []
+    # on any transformed dataset — estimating post-lang-filter would make
+    # est=0 and unconditionally pin 100TB-class corpora; ADVICE r2).  The
+    # pre-filter size is a conservative upper bound.  NOTE: skipping the
+    # repartition when the source block count "looks fine" was tried and
+    # measured 55% SLOWER end-to-end (45.7 s -> 70.9 s back-to-back): 32
+    # fat blocks starve the 2x-CPUs task slack downstream stages rely on.
+    est = corpus_size_estimate(source_ds)
     if not skip_repartition:
         corpus_ds = corpus_ds.repartition(nblocks)
     corpus = corpus_ds.map_batches(_stamp_ids, batch_format="pyarrow")

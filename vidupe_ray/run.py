@@ -52,14 +52,16 @@ def preflight() -> dict:
             "nodes": len([n for n in ray.nodes() if n.get("Alive")])}
 
 
-def write_outputs(res, out_dir: str) -> dict:
+def write_outputs(res, out_dir: str, identity: str | None = None) -> dict:
     """Resumable partitioned parquet per output dataset + metrics json.
 
     The key-bearing datasets go through ``state.output.resumable_write``
     (hash-partitioned ``part-<b>.parquet`` with atomic rename + manifest):
-    a re-run against the same ``out_dir`` skips every partition that
-    already landed, so output cost after a crash is proportional to the
-    unfinished partitions — never one giant file (task brief).
+    a re-run against the same ``out_dir`` with the same run identity
+    (corpus key + match config) skips every partition that already
+    landed, so output cost after a crash is proportional to the
+    unfinished partitions — never one giant file (task brief); a changed
+    corpus/config wipes the stale partitions instead of mixing them in.
     """
     from vidupe_ray.state.output import resumable_write
     counts = {}
@@ -69,7 +71,9 @@ def write_outputs(res, out_dir: str) -> dict:
         d = os.path.join(out_dir, name)
         n = ds.count()
         if n:
-            manifest = resumable_write(ds, d, key, buckets=32)
+            manifest = resumable_write(
+                ds, d, key, buckets=32,
+                identity=None if identity is None else f"{identity}:{name}")
             counts[name] = int(manifest["rows"].sum())
         else:
             os.makedirs(d, exist_ok=True)
@@ -121,11 +125,20 @@ def main(argv=None):
     if args.validate:
         from vidupe_ray.sources.corpus_source import corpus_sanity
         sanity = corpus_sanity(read_corpus(args.input), cfg)
-    res = run_dedup(read_corpus(args.input,
-                                num_blocks=2 * args.num_cpus), cfg,
+    source = read_corpus(args.input, num_blocks=2 * args.num_cpus)
+    res = run_dedup(source, cfg,
                     checkpoint_dir=args.checkpoint_dir,
                     skip_repartition=True)
-    counts = write_outputs(res, args.output)
+    # run identity for the resumable outputs: file identity of the corpus
+    # (path+size+mtime) + the FULL config (thresholds included — unlike
+    # the signature checkpoint, outputs DO depend on match-time params)
+    from vidupe_ray.state.checkpoint import corpus_cache_key
+    import hashlib
+    ckey = corpus_cache_key(source, cfg) or "inmem"
+    identity = ckey + ":" + hashlib.sha256(
+        json.dumps(cfg.to_dict(), sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+    counts = write_outputs(res, args.output, identity=identity)
     report = cluster_report(res.clusters)
     summary = {"wall_sec": round(time.perf_counter() - t0, 2),
                **counts, **report,

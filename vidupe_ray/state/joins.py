@@ -268,17 +268,30 @@ def lookup_join(left_ds, key_col: str, mapping_ds, map_key: str,
 # --------------------------------------------------------------------------
 
 _SHARD_CACHE: dict = {}
-_SHARD_CACHE_MAX = 24
+_SHARD_CACHE_BYTES = 0
+# byte-bounded eviction (ADVICE r2): entry-count FIFO let one worker pin
+# ~3x the candidate payload at grid_k=8; cap the cache by cumulative
+# payload bytes instead (~1/8 of a worker heap at Ray's 2 GiB default)
+_SHARD_CACHE_MAX_BYTES = 256 << 20
+
+
+def _entry_nbytes(hit) -> int:
+    ids, tbl = hit
+    return int(ids.nbytes) + int(tbl.nbytes if tbl is not None else 0)
 
 
 def _grid_builder_fn(k: int, right_key: str):
     @ray.remote(num_cpus=1)
     def _builder(*tables):
-        t = pa.concat_tables([x for x in tables if x.num_rows])
-        if t.num_rows == 0:
+        # a builder chunk can be ALL empty blocks (sparse candidates after
+        # filter_by_key_shards routinely leave runs of empty blocks) —
+        # concat_tables([]) raises, so build the non-empty list first
+        parts = [x for x in tables if x.num_rows]
+        if not parts:
             empty = tables[0].schema.empty_table()
             return tuple((np.empty(0, np.int64), empty)
                          for _ in range(k))
+        t = pa.concat_tables(parts)
         ids = t.column(right_key).to_numpy(zero_copy_only=False)
         b = bucket_of_ints(ids, k)
         outs = []
@@ -296,6 +309,7 @@ def _merged_shard(refs_token, bucket: int, shard_refs):
     """Per-process cache of the merged (sorted ids, payload table) for one
     grid bucket — cells sharing a bucket (on either side) re-use the
     merge."""
+    global _SHARD_CACHE_BYTES
     key = (refs_token, bucket)
     hit = _SHARD_CACHE.get(key)
     if hit is None:
@@ -307,9 +321,13 @@ def _merged_shard(refs_token, bucket: int, shard_refs):
         tbl = (pa.concat_tables(tbls).take(pa.array(order, pa.int64()))
                if tbls else None)
         hit = (ids[order], tbl)
-        if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
-            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        nb = _entry_nbytes(hit)
+        while _SHARD_CACHE and \
+                _SHARD_CACHE_BYTES + nb > _SHARD_CACHE_MAX_BYTES:
+            old = _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))   # FIFO
+            _SHARD_CACHE_BYTES -= _entry_nbytes(old)
         _SHARD_CACHE[key] = hit
+        _SHARD_CACHE_BYTES += nb
     return hit
 
 

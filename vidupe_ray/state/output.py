@@ -31,12 +31,44 @@ from . import bucketing as B
 
 
 def resumable_write(ds, out_dir: str, key_col: str,
-                    buckets: int = 64) -> pd.DataFrame:
+                    buckets: int = 64,
+                    identity: str | None = None) -> pd.DataFrame:
     """Write ``ds`` as ``out_dir/part-<bucket>.parquet`` keyed by
     ``hash(key_col) % buckets``; returns the manifest DataFrame
     (partition, rows, bytes, skipped) and writes it as
-    ``out_dir/MANIFEST.parquet``."""
+    ``out_dir/MANIFEST.parquet``.
+
+    ``identity`` is the dataset identity key (corpus key + config hash):
+    existing partitions are only SKIPPED when the directory's recorded
+    identity matches — a re-run into the same ``out_dir`` after the
+    corpus, config or code changed wipes the stale partitions instead of
+    silently mixing them with fresh ones (ADVICE r2).  Skipped rows
+    report the EXISTING file's row count, so the manifest always
+    describes what is actually on disk.
+    """
     os.makedirs(out_dir, exist_ok=True)
+    id_path = os.path.join(out_dir, "_IDENTITY")
+    prev = None
+    if os.path.exists(id_path):
+        try:
+            with open(id_path) as fh:
+                prev = fh.read()
+        except OSError:
+            prev = None
+    if identity is not None and prev != identity:
+        # identity mismatch (or unidentified leftovers): existing parts
+        # cannot be trusted as THIS dataset's partitions -> wipe, rewrite
+        for stale in [f for f in os.listdir(out_dir)
+                      if f.startswith(("part-", "tmp-"))
+                      or f == "MANIFEST.parquet"]:
+            try:
+                os.remove(os.path.join(out_dir, stale))
+            except OSError:
+                pass
+        tmp_id = id_path + ".tmp"
+        with open(tmp_id, "w") as fh:
+            fh.write(identity)
+        os.rename(tmp_id, id_path)
     for stale in [f for f in os.listdir(out_dir) if f.startswith("tmp-")]:
         try:
             os.remove(os.path.join(out_dir, stale))
@@ -49,7 +81,9 @@ def resumable_write(ds, out_dir: str, key_col: str,
             buckets)[0]) if t.num_rows else -1
         path = os.path.join(out_dir, f"part-{b:05d}.parquet")
         if os.path.exists(path):
-            return pd.DataFrame({"partition": [b], "rows": [t.num_rows],
+            meta = pq.read_metadata(path)
+            return pd.DataFrame({"partition": [b],
+                                 "rows": [meta.num_rows],
                                  "bytes": [0], "skipped": [True]})
         tmp = os.path.join(out_dir, f"tmp-{uuid.uuid4().hex[:8]}.parquet")
         pq.write_table(t, tmp)
