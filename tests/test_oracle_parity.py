@@ -44,3 +44,37 @@ def test_query_matches_oracle(harness, name):
                 pd.to_numeric(wv).astype("float64").to_numpy(), err_msg=c)
         else:
             assert (gv.astype(str) == wv.astype(str)).all(), c
+
+
+def test_dedup_pairs_exact_with_planted_dups(harness, tmp_path):
+    """The testdata corpora are dup-free, so at driver scale
+    dedup_pairs_exact is a negative control (empty == empty).  Make it
+    non-vacuous here: plant exact duplicate docs and check the full-chain
+    pair expansion equals DuckDB's same-content self-join."""
+    E, _ = harness
+    rng = np.random.RandomState(3)
+    texts = ["word%d alpha beta gamma delta epsilon zeta eta theta "
+             "iota kappa lambda mu nu xi omicron pi rho sigma tau %d"
+             % (i, i) for i in range(40)]
+    # duplicate groups: {0,40,41}, {1,42}, rest singletons
+    texts += [texts[0], texts[0], texts[1]]
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["t"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    })
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/documents.parquet", index=False)
+
+    got = E.queries()["dedup_pairs_exact"](sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.sql(E.oracle_sql()["dedup_pairs_exact"]).fetchdf()
+    gs = set(zip(got["a"].astype(int), got["b"].astype(int)))
+    ws = set(zip(want["a"].astype(int), want["b"].astype(int)))
+    assert ws == {(0, 40), (0, 41), (40, 41), (1, 42)}
+    assert gs == ws

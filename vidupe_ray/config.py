@@ -52,6 +52,22 @@ class PipelineConfig:
 
     # --- matching --------------------------------------------------------
     mode: str = "jaccard"         # "simhash" (pHash analogue) | "jaccard" (SSIM analogue)
+    slot_subbands: int = 4        # simhash-mode candidate channel: each
+                                  # 64-bit head/tail slot is banded into
+                                  # this many equal sub-keys (4 x 16 bit);
+                                  # pigeonhole guarantees any pair within
+                                  # Hamming <= slot_subbands-1 of a slot
+                                  # shares >= 1 sub-key — the reference
+                                  # matches low-Jaccard pairs on slot
+                                  # distance alone (comparison.cpp:133-140),
+                                  # which MinHash bands cannot surface.
+                                  # d >= slot_subbands pairs still surface
+                                  # via MinHash bands when Jaccard is high;
+                                  # the remaining (low-J, 4<=d<=8) corner
+                                  # is the documented recall envelope —
+                                  # raise to 8 (8 x 8-bit keys, d<=7
+                                  # deterministic) to close it at a
+                                  # candidate-noise cost.
     threshold_pct: int = 89       # slider percent; see threshold_bits/threshold_frac
     same_len_bonus: int = 1       # bits-of-64 when lengths are "the same"
     diff_len_penalty: int = 4     # bits-of-64 otherwise
@@ -195,6 +211,9 @@ class PipelineConfig:
         if self.hot_group_strategy not in ("ring", "salt"):
             raise ValueError(
                 f"unknown hot_group_strategy {self.hot_group_strategy!r}")
+        if self.slot_subbands < 1 or 64 % self.slot_subbands != 0:
+            raise ValueError(
+                f"slot_subbands must divide 64 (got {self.slot_subbands})")
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -19,7 +19,10 @@ _WINDOW_S = 3600
 
 
 def read_events(sf_dir: str, columns=None):
-    return rd.read_parquet(_EVENTS.format(sf=sf_dir), columns=columns)
+    # source-level pandas-metadata strip (see textops.read_documents)
+    from ..state.bucketing import arrow_clean
+    return arrow_clean(
+        rd.read_parquet(_EVENTS.format(sf=sf_dir), columns=columns))
 
 
 def tumbling_window_stats(sf_dir: str, window_s: int = _WINDOW_S):
@@ -40,9 +43,10 @@ def tumbling_window_stats(sf_dir: str, window_s: int = _WINDOW_S):
         return agg
 
     from ray.data.aggregate import Sum
+    from ..state.bucketing import arrow_clean
     partial = read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
         _partial, batch_format="pandas")
-    out = partial.groupby(["event_type", "win"]).aggregate(
+    out = arrow_clean(partial).groupby(["event_type", "win"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("value_sum", alias_name="value_sum_raw"))
 
@@ -96,16 +100,32 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
 
 def heavy_hitters(sf_dir: str, k: int = 10):
     """Top-k users by event count — partial counts per batch, tiny
-    groupby, global top-k (deterministic tie-break by user_id)."""
+    groupby, then PER-BLOCK top-k partials before the driver merge
+    (VERDICT r2 #4: never ``to_pandas()`` the full per-user count table).
+
+    After the groupby each user appears in exactly one row, so taking
+    top-k within every output block and merging the ``blocks x k`` rows
+    on the driver is exact — the mergeable-partial pattern of
+    ``textops.top_per_lang``.  Driver footprint: O(blocks x k), not
+    O(|users|)."""
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("user_id", as_index=False).agg(
             n=("user_id", "size"))
 
+    def _block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "user_id"],
+                            ascending=[False, True]).head(k)
+        df = df.copy()
+        df["n"] = df["n"].astype("int64")
+        return df
+
     from ray.data.aggregate import Sum
-    counts = (read_events(sf_dir, ["user_id"])
-              .map_batches(_partial, batch_format="pandas")
+    from ..state.bucketing import arrow_clean
+    counts = (arrow_clean(read_events(sf_dir, ["user_id"])
+                          .map_batches(_partial, batch_format="pandas"))
               .groupby("user_id").aggregate(Sum("n", alias_name="n")))
-    top = counts.to_pandas().sort_values(
+    partial_top = counts.map_batches(_block_topk, batch_format="pandas")
+    top = partial_top.to_pandas().sort_values(
         ["n", "user_id"], ascending=[False, True]).head(k)
     top["n"] = top["n"].astype("int64")
     return top.reset_index(drop=True)
@@ -133,9 +153,11 @@ def hopping_window_stats(sf_dir: str, window_s: int = 3600,
             n_events=("value", "size"), value_sum=("value", "sum"))
 
     from ray.data.aggregate import Sum
+    from ..state.bucketing import arrow_clean
     partial = read_events(sf_dir, ["ts", "event_type", "value"]) \
         .map_batches(_partial, batch_format="pandas")
-    out = partial.groupby(["event_type", "window_start"]).aggregate(
+    out = arrow_clean(partial).groupby(
+        ["event_type", "window_start"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("value_sum", alias_name="value_sum_raw"))
 

@@ -35,7 +35,13 @@ _MARKER_ORDER = ["en", "fr", "es", "de", "zh"]
 
 
 def read_documents(sf_dir: str, columns=None):
-    return rd.read_parquet(_DOCS.format(sf=sf_dir), columns=columns)
+    # strip the parquet file's pandas schema metadata at the source:
+    # pyarrow 16's Schema.__hash__ raises on it, so every downstream
+    # fragment concat / shuffle logs a schema-dedup warning (VERDICT r2
+    # #9).  Metadata-only map, zero-copy.
+    from ..state.bucketing import arrow_clean
+    return arrow_clean(
+        rd.read_parquet(_DOCS.format(sf=sf_dir), columns=columns))
 
 
 def doc_stats(sf_dir: str):
@@ -120,9 +126,10 @@ def token_stats_by_lang(sf_dir: str):
         return agg
 
     from ray.data.aggregate import Sum
+    from ..state.bucketing import arrow_clean
     partial = read_documents(sf_dir, ["lang", "text"]).map_batches(
         _partial, batch_format="pandas")
-    return partial.groupby("lang").aggregate(
+    return arrow_clean(partial).groupby("lang").aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("sum_tokens", alias_name="sum_tokens"))
 
@@ -136,9 +143,10 @@ def lowinfo_by_lang(sf_dir: str, min_tokens: int = 8):
         return g.groupby("lang", as_index=False).agg(n_lowinfo=("low", "sum"))
 
     from ray.data.aggregate import Sum
+    from ..state.bucketing import arrow_clean
     partial = read_documents(sf_dir, ["lang", "text"]).map_batches(
         _partial, batch_format="pandas")
-    return partial.groupby("lang").aggregate(
+    return arrow_clean(partial).groupby("lang").aggregate(
         Sum("n_lowinfo", alias_name="n_lowinfo"))
 
 
@@ -257,7 +265,8 @@ def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int = 200,
         return df.groupby("doc_id", as_index=False).agg(sz=("gram", "size"))
 
     from ray.data.aggregate import Sum
-    sizes = (grams.map_batches(_sizes, batch_format="pandas")
+    from ..state.bucketing import arrow_clean
+    sizes = (arrow_clean(grams.map_batches(_sizes, batch_format="pandas"))
              .groupby("doc_id").aggregate(Sum("sz", alias_name="sz"))
              .materialize())
 
@@ -280,8 +289,9 @@ def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int = 200,
                              "inter": np.ones(len(i), dtype=np.int64)})
 
     from ..state import bucketing as B
-    co = (B.grouped_map(grams, "gram", B.bucket_of_strings, _pairs,
-                        batch_format="pandas")
+    co = (B.arrow_clean(
+              B.grouped_map(grams, "gram", B.bucket_of_strings, _pairs,
+                            batch_format="pandas"))
           .groupby(["a", "b"]).aggregate(Sum("inter", alias_name="inter")))
 
     # set sizes join back by the cap-gated lookup join — never a
@@ -330,7 +340,9 @@ def top_docs_per_lang(sf_dir: str, k: int = 5):
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df[["lang", "doc_id", "n_chars", "rank"]]
 
-    return parts.groupby("lang").map_groups(_final, batch_format="pandas")
+    from ..state.bucketing import arrow_clean
+    return arrow_clean(parts).groupby("lang").map_groups(
+        _final, batch_format="pandas")
 
 
 def sample_docs_per_lang(sf_dir: str, n: int = 20):
@@ -357,4 +369,6 @@ def sample_docs_per_lang(sf_dir: str, n: int = 20):
         df["sample_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df[["lang", "doc_id", "sample_rank"]]
 
-    return parts.groupby("lang").map_groups(_final, batch_format="pandas")
+    from ..state.bucketing import arrow_clean
+    return arrow_clean(parts).groupby("lang").map_groups(
+        _final, batch_format="pandas")

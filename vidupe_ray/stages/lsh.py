@@ -16,7 +16,12 @@ cost pyramid of ``bothVideosMatch`` (``comparison.cpp:141-147``):
 
 Candidate channels sharing the one bucketed shuffle:
 
-- channel 0 (BAND): ``bands x rows_per_band`` MinHash banding.
+- channel 0 (BAND): ``bands x rows_per_band`` MinHash banding; in simhash
+  mode the same channel also carries SLOT SUB-BAND keys — each 64-bit
+  head/tail slot split into ``slot_subbands`` equal sub-keys, so any pair
+  within Hamming <= slot_subbands-1 of a slot shares a key (pigeonhole):
+  the reference's low-Jaccard slot-distance matches (comparison.cpp:
+  133-140) surface deterministically for d <= 3 at the default 4 x 16.
 - channel 1 (ANCHOR): bottom-k distinct shingle hashes; docs sharing an
   anchor with a >= ``min_containment_ratio`` size gap become containment
   candidates for the substring pass (north rule); phase 2 prunes them by
@@ -110,21 +115,39 @@ class BandEmitter:
         chan_parts = [np.zeros(len(band_idx), dtype=np.uint8),
                       np.ones(len(anchor_idx), dtype=np.uint8)]
         if cfg.mode == "simhash":
-            # pHash-mode extra channel: exact slot-equality keys.  The
-            # reference matches any pair whose begin- or end-hash is close
-            # regardless of whole-doc similarity (comparison.cpp:133-140);
-            # MinHash bands cannot generate low-Jaccard candidates, so
-            # identical-window pairs get their own keys (d=0 case; the
-            # d>0, low-J corner is a documented recall envelope).
+            # pHash-mode extra channel: SLOT SUB-BAND keys.  The reference
+            # matches any pair whose begin- or end-hash is within Hamming
+            # distance of the threshold regardless of whole-doc similarity
+            # (comparison.cpp:133-140); MinHash bands cannot generate
+            # low-Jaccard candidates.  Each 64-bit slot is banded into
+            # ``slot_subbands`` equal-width sub-keys: d differing bits can
+            # spoil at most d sub-keys, so any pair at slot distance
+            # <= slot_subbands-1 (d<=3 at the default 4 x 16-bit) shares
+            # at least one identical sub-key — deterministic coverage of
+            # the reference's d>0 low-Jaccard semantic (VERDICT r2 #1).
+            # Random 16-bit collisions are pruned in-bucket by the exact
+            # slot gate before anything reaches the pair shuffle.
             head_v = batch.column("simhash_head").to_numpy(
                 zero_copy_only=False).astype(H.U64)[live]
             tail_v = batch.column("simhash_tail").to_numpy(
                 zero_copy_only=False).astype(H.U64)[live]
-            idx_parts += [live, live]
-            key_parts += [H.mix64(head_v ^ _SLOT_HEAD_SALT),
-                          H.mix64(tail_v ^ _SLOT_TAIL_SALT)]
-            chan_parts += [np.zeros(len(live), dtype=np.uint8),
-                           np.zeros(len(live), dtype=np.uint8)]
+            nsub = cfg.slot_subbands
+            width = 64 // nsub
+            sub_mask = H.U64((1 << width) - 1)
+            for slot_v, salt in ((head_v, _SLOT_HEAD_SALT),
+                                 (tail_v, _SLOT_TAIL_SALT)):
+                valid = slot_v != H.U64(0)     # 0 = invalid-slot sentinel
+                vidx = live[valid]
+                sv = slot_v[valid]
+                for i in range(nsub):
+                    sub = (sv >> H.U64(width * i)) & sub_mask
+                    # (sub, i) packed pre-mix -> unique key per sub-band
+                    # (sub-band index fits 6 bits for any nsub <= 64);
+                    # salt separates head/tail keyspaces
+                    key = H.mix64(((sub << H.U64(6)) | H.U64(i)) ^ salt)
+                    idx_parts.append(vidx)
+                    key_parts.append(key)
+                    chan_parts.append(np.zeros(len(vidx), dtype=np.uint8))
         idx = np.concatenate(idx_parts)
         keys = np.concatenate(key_parts).view(np.int64)
         channel = np.concatenate(chan_parts)

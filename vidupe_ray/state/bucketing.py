@@ -36,6 +36,18 @@ def bucket_of_strings(s, num_buckets: int) -> np.ndarray:
             % U64(num_buckets)).astype(np.int64)
 
 
+def arrow_clean(ds):
+    """Strip the b'pandas' schema metadata from every block before a
+    Dataset-level shuffle (groupby/aggregate/sort).  pandas->arrow block
+    conversions attach it, and pyarrow 16's ``Schema.__hash__`` raises on
+    the metadata dict — Ray's shuffle reduce then logs a schema-dedup
+    warning per task and skips its dedup fast path (VERDICT r2 #9).
+    Metadata-only: zero-copy, no column work."""
+    def _strip(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+    return ds.map_batches(_strip, batch_format="pyarrow")
+
+
 def grouped_map(ds, key_col: str, bucket_fn, apply_fn,
                 num_buckets: int = 64, batch_format: str = "pyarrow"):
     """groupby-equivalent over huge key cardinality.
@@ -45,6 +57,13 @@ def grouped_map(ds, key_col: str, bucket_fn, apply_fn,
     (the key column is still present) and may return any schema.
     """
     def _tag(batch: pa.Table) -> pa.Table:
+        # strip the b'pandas' schema metadata that rides every
+        # pandas->arrow block conversion: pyarrow 16's Schema.__hash__
+        # raises on it ("unhashable type: 'dict'"), making Ray's
+        # sort-shuffle reduce log a schema-dedup warning per task and
+        # skip its fast path (VERDICT r2 #9)
+        if batch.schema.metadata:
+            batch = batch.replace_schema_metadata(None)
         vals = batch.column(key_col).to_numpy(zero_copy_only=False)
         return batch.append_column(
             BUCKET_COL, pa.array(bucket_fn(vals, num_buckets), pa.int64()))
