@@ -62,3 +62,49 @@ def test_formatters():
     assert readable_count(999) == "999"
     assert readable_count(1_500_000) == "1.5M"
     assert readable_duration(3725.5) == "1:02:05.500"
+
+
+def test_media_features_feed_ann_end_to_end(ray_session, tmp_path):
+    """VERDICT r2 #8: the multimodal column path beyond metadata — media
+    payloads -> actor-pool feature extraction -> embeddings-shaped parquet
+    -> exact ANN top-k over the extracted features.  Duplicate payloads
+    must be each other's top-1 neighbor at cos ~ 1 (the deterministic
+    stub maps identical bytes to identical unit vectors)."""
+    import ray.data as rd
+    from vidupe_ray.pipelines.ann import ann_topk
+
+    rng = np.random.RandomState(7)
+    payloads = [rng.bytes(200 + i) for i in range(30)]
+    # doc 100+i carries the same payload as doc i for i < 10
+    doc_ids = list(range(30)) + list(range(100, 110))
+    blobs = payloads + payloads[:10]
+    media = pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "media": pa.array(blobs, pa.binary()),
+        "media_type": pa.array(["image/png"] * len(blobs), pa.string()),
+    })
+    feats = extract_media_features(rd.from_arrow(media), concurrency=2,
+                                   batch_size=16)
+
+    def _as_embeddings(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t.column("doc_id"),
+            "embedding": t.column("feature"),
+            "label": pa.array(np.zeros(t.num_rows, np.int32), pa.int32()),
+        })
+
+    d = str(tmp_path)
+    emb = feats.filter(expr="status == 'ok'").map_batches(
+        _as_embeddings, batch_format="pyarrow")
+    import pyarrow.parquet as pq
+    pq.write_table(pa.concat_tables(
+        ray.get(list(emb.to_arrow_refs()))), f"{d}/embeddings.parquet")
+
+    top = ann_topk(d, n_queries=10, k=1).to_pandas()
+    # query i's nearest non-query vector is its duplicate 100+i
+    got = dict(zip(top["query_id"], top["neighbor_id"]))
+    assert got == {i: 100 + i for i in range(10)}
+    assert (top["cos_x1000"] >= 999).all()
+
+
+import ray  # noqa: E402  (used in the ANN end-to-end test)

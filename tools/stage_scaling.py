@@ -63,11 +63,18 @@ def _stamp(b):
     return b.append_column("doc_id", pa.array(batch_doc_ids(b),
                                               pa.int64()))
 
-corpus = tick("pin", lambda: rd.read_parquet(cdir)
+# fused pin+normalize — matches run_dedup's round-3 structure: one
+# read->stamp->normalize pass materializes content+metadata together;
+# docs is a zero-copy column projection of the pinned blocks
+def _fused(b):
+    b = _stamp(b)
+    meta = normalize_batch(b)
+    return meta.append_column("content", b.column("content"))
+
+corpus = tick("pin_normalize", lambda: rd.read_parquet(cdir)
               .repartition(2 * ncpu)
-              .map_batches(_stamp, batch_format="pyarrow").materialize())
-docs = tick("normalize", lambda: corpus.map_batches(
-    normalize_batch, batch_format="pyarrow").materialize())
+              .map_batches(_fused, batch_format="pyarrow").materialize())
+docs = corpus.drop_columns(["content"])
 membership = tick("exact_dedup",
                   lambda: ed.exact_dedup(docs, cfg).materialize())
 rejects = docs.filter(expr="status != 'ok'").select_columns(["doc_id"])

@@ -1,0 +1,71 @@
+"""5M-doc stress (round-3; VERDICT r2 #7): one more 2.5x step over the 2M
+run to check candidate linearity, the distributed plans' behavior, and
+cluster byte-stability at a scale where the pin auto-gate turns OFF
+(corpus estimate exceeds the object-store fraction), i.e. the true
+100-TB-shaped configuration: unpinned source re-reads + bucketed verify +
+distributed alternating-star CC.
+
+    python tools/stress_5m.py [n_docs]     # default 5_000_000
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+for _k, _v in (("MALLOC_MMAP_THRESHOLD_", "1073741824"),
+               ("MALLOC_TRIM_THRESHOLD_", "1073741824"),
+               ("MALLOC_ARENA_MAX", "4"), ("PYTHONMALLOC", "malloc")):
+    os.environ.setdefault(_k, _v)
+
+
+def main(n: int = 5_000_000, seed: int = 42):
+    out = f"/tmp/vidupe_bench/sf0.1_n{n}_s{seed}"
+    if not os.path.exists(os.path.join(out, "corpus")):
+        from vidupe_ray.corpus import write_corpus
+        os.makedirs(out, exist_ok=True)
+        t0 = time.perf_counter()
+        write_corpus(out, n, seed=seed, shards=64)
+        print(f"# corpus generated in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr)
+
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from vidupe_ray.config import PipelineConfig
+    from vidupe_ray.pipelines.dedup import run_dedup, cluster_report
+    from vidupe_ray.sources.corpus_source import read_corpus
+
+    cfg = PipelineConfig(fingerprint_concurrency=30)
+    t0 = time.perf_counter()
+    res = run_dedup(read_corpus(os.path.join(out, "corpus"), num_blocks=64),
+                    cfg, skip_repartition=True)
+    n_clusters = res.clusters.count()
+    wall = time.perf_counter() - t0
+    rep = cluster_report(res.clusters)
+    print(json.dumps({
+        "n_docs": n,
+        "wall_sec": round(wall, 1),
+        "files_per_sec": round(n / wall, 1),
+        "n_candidates": res.metrics.get("n_candidates"),
+        "n_pairs": res.metrics.get("n_pairs"),
+        "n_clusters": n_clusters,
+        "dup_clusters": rep["dup_clusters"],
+        "reclaimable_bytes": rep["reclaimable_bytes"],
+        "pin_auto": res.metrics.get("pin_corpus_auto"),
+        "stage_sec": {k: round(v, 1) for k, v in res.metrics.items()
+                      if k.startswith("t_")},
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000)

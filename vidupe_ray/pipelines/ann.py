@@ -90,7 +90,14 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.45):
     near-dup detection.  The full matrix is broadcast once (it is the
     small side at this scale); each batch compares its rows against the
     broadcast matrix and keeps only (row_id < other_id) to emit each pair
-    exactly once."""
+    exactly once.
+
+    SMALL-SIDE BASELINE ONLY: the driver materializes the full table
+    (``to_pandas``), so this operator is bounded by driver memory —
+    ~2M x 64-float vectors (1 GiB + norms) is the practical ceiling.
+    Above that callers MUST switch to ``lsh_neardup_pairs`` (same pair
+    set at the tuned plan, nothing driver-side; pairs verified exactly
+    in-cell), which is the deployment path at 10^8+ vectors."""
     full = read_embeddings(sf_dir).to_pandas().sort_values("vec_id")
     fm = _matrix(full)
     fnorm = np.linalg.norm(fm, axis=1)

