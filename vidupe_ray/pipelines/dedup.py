@@ -243,10 +243,35 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     near = verified.filter(expr="kind == 'near'")
     cand = verified.filter(expr="kind == 'contain_cand'")
     if cfg.containment:
-        contain = vc.confirm_containment(cand, winners, cfg)
+        # OVERLAP containment with connected components (round-3 scaling
+        # work): the substring confirm and CC-over-(near ∪ exact) edges
+        # have independent inputs, so both Ray jobs run concurrently from
+        # two driver threads.  The contain edges are merged afterwards by
+        # a second CC pass over (star edges of phase 1) ∪ (contain pairs)
+        # — star edges preserve exactly the phase-1 connectivity and each
+        # component's min-doc_id root, so the final parents are identical
+        # to a single CC over the full edge set (min-root determinism,
+        # SURVEY.md §7.4); when containment confirms nothing the phase-1
+        # parents are already final and the second pass is skipped.
+        import concurrent.futures as _cf
+        near_edges = near.select_columns(["a", "b"]).union(exact_edge_ds)
+        with _cf.ThreadPoolExecutor(max_workers=2) as ex:
+            f_contain = ex.submit(
+                lambda: vc.confirm_containment(cand, winners,
+                                               cfg).materialize())
+            f_parents = ex.submit(
+                lambda: cluster_stage.connected_components(
+                    near_edges,
+                    small_graph_threshold=cfg.cc_small_graph_threshold,
+                ).materialize())
+            contain = f_contain.result()
+            parents_phase1 = f_parents.result()
         pairs = (near.select_columns(lsh.PAIR_OUTPUT_COLUMNS)
                  .union(contain.select_columns(lsh.PAIR_OUTPUT_COLUMNS)))
+        metrics["cc_overlapped"] = True
     else:
+        contain = None
+        parents_phase1 = None
         pairs = near.select_columns(lsh.PAIR_OUTPUT_COLUMNS)
     pairs = pairs.materialize()
     metrics["n_pairs"] = pairs.count()
@@ -259,10 +284,25 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
 
     # --- clustering -------------------------------------------------------
     t3 = time.perf_counter()
-    edges = pairs.select_columns(["a", "b"]).union(exact_edge_ds)
-    parents = cluster_stage.connected_components(
-        edges,
-        small_graph_threshold=cfg.cc_small_graph_threshold).materialize()
+    if parents_phase1 is not None:
+        if contain.count() == 0:
+            parents = parents_phase1
+        else:
+            def _star_as_edges(t: pa.Table) -> pa.Table:
+                return pa.table({"a": t.column("doc_id"),
+                                 "b": t.column("cluster_id")})
+
+            star = parents_phase1.map_batches(_star_as_edges,
+                                              batch_format="pyarrow")
+            parents = cluster_stage.connected_components(
+                star.union(contain.select_columns(["a", "b"])),
+                small_graph_threshold=cfg.cc_small_graph_threshold,
+            ).materialize()
+    else:
+        edges = pairs.select_columns(["a", "b"]).union(exact_edge_ds)
+        parents = cluster_stage.connected_components(
+            edges,
+            small_graph_threshold=cfg.cc_small_graph_threshold).materialize()
     clusters = assign_clusters(docs, parents, cfg)
     shuffle_bytes["cc_edges_est"] = 16 * (metrics["n_pairs"]
                                           + metrics["n_losers"])
