@@ -188,6 +188,11 @@ def q_token_stats(sf_dir: str):
     return token_stats_by_lang(sf_dir)
 
 
+def q_bpe_token_stats(sf_dir: str):
+    from vidupe_ray.pipelines.textops import bpe_token_stats
+    return bpe_token_stats(sf_dir)
+
+
 def q_lowinfo(sf_dir: str):
     from vidupe_ray.pipelines.textops import lowinfo_by_lang
     return lowinfo_by_lang(sf_dir)
@@ -293,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "dedup_summary": q_dedup_summary,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "lowinfo": q_lowinfo,
         "quality": q_quality,
         "langid": q_langid,
@@ -379,6 +385,16 @@ def oracle_sql() -> dict[str, str]:
     token_stats = f"""
         SELECT lang, count(*) AS n_docs,
                CAST(sum({_TOKC}) AS BIGINT) AS sum_tokens
+        FROM documents GROUP BY lang"""
+
+    # BPE-ish pre-tokenization count: the Python pattern verbatim; RE2 and
+    # CPython both use leftmost-first alternation and the alternatives'
+    # first-character classes are disjoint, so counts agree exactly
+    bpe_token_stats = r"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(coalesce(text, ''),
+                   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\f\v\r\n]+')))
+                   AS BIGINT) AS sum_bpe_tokens
         FROM documents GROUP BY lang"""
 
     lowinfo = f"""
@@ -563,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": exact_dedup,
         "dedup_summary": dedup_summary,
         "token_stats": token_stats,
+        "bpe_token_stats": bpe_token_stats,
         "lowinfo": lowinfo,
         "quality": quality,
         "langid": _langid_sql(),

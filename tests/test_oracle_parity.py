@@ -8,8 +8,8 @@ import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
-SUBSET = ["doc_stats", "exact_dedup", "token_stats", "quality",
-          "heavy_hitters", "tumbling_window", "hopping_window",
+SUBSET = ["doc_stats", "exact_dedup", "token_stats", "bpe_token_stats",
+          "quality", "heavy_hitters", "tumbling_window", "hopping_window",
           "top_per_lang", "sample_per_lang"]
 
 
@@ -78,3 +78,47 @@ def test_dedup_pairs_exact_with_planted_dups(harness, tmp_path):
     ws = set(zip(want["a"].astype(int), want["b"].astype(int)))
     assert ws == {(0, 40), (0, 41), (40, 41), (1, 42)}
     assert gs == ws
+
+
+def test_bpe_token_stats_diverges_from_whitespace(harness, tmp_path):
+    """The driver corpora are punctuation-free word salad, where BPE-ish
+    and whitespace token counts coincide.  Make the BPE regex non-vacuous
+    here: punctuation, digit runs, and glued alnum must SPLIT (so the
+    count exceeds the whitespace count) and still match DuckDB's RE2
+    evaluation of the same pattern exactly."""
+    E, _ = harness
+    texts = [
+        "Hello, world! It's 2026-08-17 — v2.49.2 of ray[data].",
+        "abc123def 456  ,,;;  trailing space ",
+        "no_punct plain words only",
+        None,
+        "",
+    ]
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts,
+        "lang": ["en", "en", "de", "de", "en"],
+        "source": ["t"] * len(texts),
+        "n_chars": [len(t) if t else 0 for t in texts],
+    })
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/documents.parquet", index=False)
+
+    got = E.queries()["bpe_token_stats"](sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.sql(E.oracle_sql()["bpe_token_stats"]).fetchdf()
+    g = got.sort_values("lang").reset_index(drop=True)
+    w = want.sort_values("lang").reset_index(drop=True)
+    np.testing.assert_array_equal(g["sum_bpe_tokens"].to_numpy(),
+                                  w["sum_bpe_tokens"].to_numpy())
+    np.testing.assert_array_equal(g["n_docs"].to_numpy(),
+                                  w["n_docs"].to_numpy())
+    # divergence from whitespace tokenization: doc 0 has 9 ws tokens but
+    # far more BPE tokens (punctuation/digit splits)
+    en = int(g.loc[g["lang"] == "en", "sum_bpe_tokens"].iloc[0])
+    ws_count = sum(len((t or "").split()) for t, l in zip(texts, df["lang"])
+                   if l == "en")
+    assert en > ws_count

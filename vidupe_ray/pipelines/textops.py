@@ -134,6 +134,37 @@ def token_stats_by_lang(sf_dir: str):
         Sum("sum_tokens", alias_name="sum_tokens"))
 
 
+# GPT-2-style pre-tokenization reduced to ASCII classes: letter runs /
+# digit runs / punctuation runs, each absorbing one preceding space.
+# Alternatives have disjoint first-character classes and both engines
+# (CPython `re` here, DuckDB's RE2 in the oracle) use leftmost-first
+# alternation, so match COUNTS are identical on both sides.  Whitespace is
+# the explicit [ \t\f\v\r\n] class shared with every other oracle (RE2's
+# \s omits \v).
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\f\v\r\n]+"
+
+
+def bpe_token_stats(sf_dir: str):
+    """BPE-ish regex token counting per lang (task brief: 'token counting
+    (whitespace + a BPE-ish regex)'; the whitespace variant is
+    ``token_stats_by_lang``).  Same partial-aggregation shape: one
+    compiled regex counted by pandas ``.str.count`` (C loop over rows)
+    inside ``map_batches``, then a tiny per-lang groupby."""
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.count(BPE_TOKEN_PATTERN)
+        g = pd.DataFrame({"lang": df["lang"], "t": toks.astype("int64")})
+        return g.groupby("lang", as_index=False).agg(
+            n_docs=("t", "size"), sum_bpe_tokens=("t", "sum"))
+
+    from ray.data.aggregate import Sum
+    from ..state.bucketing import arrow_clean
+    partial = read_documents(sf_dir, ["lang", "text"]).map_batches(
+        _partial, batch_format="pandas")
+    return arrow_clean(partial).groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_bpe_tokens", alias_name="sum_bpe_tokens"))
+
+
 def lowinfo_by_lang(sf_dir: str, min_tokens: int = 8):
     """Low-content guard counts per lang (monochrome-reject analogue)."""
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
