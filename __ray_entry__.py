@@ -193,6 +193,16 @@ def q_bpe_token_stats(sf_dir: str):
     return bpe_token_stats(sf_dir)
 
 
+def q_top_tokens(sf_dir: str):
+    from vidupe_ray.pipelines.textops import top_tokens
+    return top_tokens(sf_dir)
+
+
+def q_length_quantiles(sf_dir: str):
+    from vidupe_ray.pipelines.textops import length_quantiles
+    return length_quantiles(sf_dir)
+
+
 def q_lowinfo(sf_dir: str):
     from vidupe_ray.pipelines.textops import lowinfo_by_lang
     return lowinfo_by_lang(sf_dir)
@@ -299,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_summary": q_dedup_summary,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
+        "top_tokens": q_top_tokens,
+        "length_quantiles": q_length_quantiles,
         "lowinfo": q_lowinfo,
         "quality": q_quality,
         "langid": q_langid,
@@ -395,6 +407,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(len(regexp_extract_all(coalesce(text, ''),
                    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\f\v\r\n]+')))
                    AS BIGINT) AS sum_bpe_tokens
+        FROM documents GROUP BY lang"""
+
+    # corpus-wide token frequency top-k; pandas str.split() on this ASCII
+    # corpus == splitting trimmed text on the explicit WS class (the same
+    # equivalence token_stats relies on); empty-string tokens (whole-empty
+    # docs) are excluded on both sides; ties broken (cnt desc, token asc)
+    top_tokens = f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array({_TRIM}, '{_WS}+')) AS token
+            FROM documents)
+        WHERE token <> ''
+        GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50"""
+
+    length_quantiles = """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+               CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars,
+               CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99_chars
         FROM documents GROUP BY lang"""
 
     lowinfo = f"""
@@ -580,6 +610,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_summary": dedup_summary,
         "token_stats": token_stats,
         "bpe_token_stats": bpe_token_stats,
+        "top_tokens": top_tokens,
+        "length_quantiles": length_quantiles,
         "lowinfo": lowinfo,
         "quality": quality,
         "langid": _langid_sql(),

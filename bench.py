@@ -116,6 +116,8 @@ def run_bench() -> dict:
     timed("exact_dedup", textops.exact_dedup_docs)
     timed("token_stats", textops.token_stats_by_lang)
     timed("bpe_token_stats", textops.bpe_token_stats)
+    timed("top_tokens", textops.top_tokens)
+    timed("length_quantiles", textops.length_quantiles)
     timed("quality", textops.quality_scores)
     timed("langid", textops.langid_guess)
     timed("trigram_jaccard", textops.trigram_jaccard_pairs)

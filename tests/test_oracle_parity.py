@@ -122,3 +122,65 @@ def test_bpe_token_stats_diverges_from_whitespace(harness, tmp_path):
     ws_count = sum(len((t or "").split()) for t, l in zip(texts, df["lang"])
                    if l == "en")
     assert en > ws_count
+
+
+def _crafted_sf(tmp_path, texts, langs):
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts,
+        "lang": langs,
+        "source": ["t"] * len(texts),
+        "n_chars": [len(t) if t else 0 for t in texts],
+    })
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    return sf, con
+
+
+def test_top_tokens_limit_bites_with_boundary_ties(harness, tmp_path):
+    """The driver corpora have a ~31-token vocabulary, so LIMIT 50 never
+    truncates there.  Here: 80 distinct tokens, many sharing the same
+    count right at the k boundary — the (cnt desc, token asc) tie-break
+    must make Ray's sort().limit() pick exactly SQL's rows."""
+    E, _ = harness
+    # tok00..tok39 appear (40-i) times => distinct counts; tok40..tok79
+    # all appear exactly 3 times => a 40-way tie spanning the k=50 cut
+    texts = []
+    for i in range(40):
+        texts.append(" ".join([f"tok{i:02d}"] * (40 - i)))
+    for i in range(40, 80):
+        texts.append(" ".join([f"tok{i:02d}"] * 3))
+    texts += [None, "", "   "]
+    sf, con = _crafted_sf(tmp_path, texts, ["en"] * len(texts))
+
+    got = E.queries()["top_tokens"](sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = con.sql(E.oracle_sql()["top_tokens"]).fetchdf()
+    assert len(got) == 50 and len(want) == 50
+    g = got.sort_values(["cnt", "token"],
+                        ascending=[False, True]).reset_index(drop=True)
+    assert list(g["token"]) == list(want["token"])
+    assert list(g["cnt"].astype(int)) == list(want["cnt"].astype(int))
+
+
+def test_length_quantiles_small_groups(harness, tmp_path):
+    """Histogram-quantile parity with quantile_disc on degenerate group
+    sizes: a 1-doc lang, a 2-doc lang, and a lang with repeated values."""
+    E, _ = harness
+    texts = (["x" * n for n in [7]] +            # de: single doc
+             ["x" * n for n in [3, 9]] +         # fr: two docs
+             ["x" * n for n in [5, 5, 5, 11, 2, 8, 8]])   # en: repeats
+    langs = ["de"] + ["fr"] * 2 + ["en"] * 7
+    sf, con = _crafted_sf(tmp_path, texts, langs)
+
+    got = E.queries()["length_quantiles"](sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = con.sql(E.oracle_sql()["length_quantiles"]).fetchdf()
+    g = got.sort_values("lang").reset_index(drop=True)
+    w = want.sort_values("lang").reset_index(drop=True)
+    for c in ["n_docs", "p50_chars", "p90_chars", "p99_chars"]:
+        np.testing.assert_array_equal(g[c].to_numpy(np.int64),
+                                      w[c].to_numpy(np.int64), err_msg=c)

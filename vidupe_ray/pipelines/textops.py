@@ -376,6 +376,81 @@ def top_docs_per_lang(sf_dir: str, k: int = 5):
         _final, batch_format="pandas")
 
 
+def top_tokens(sf_dir: str, k: int = 50):
+    """Corpus-wide token-frequency top-k (vocabulary analysis — the
+    frequency pass of BPE/vocab building over a training corpus).
+
+    Combiner pattern for an explode-then-count: each batch explodes its
+    texts into tokens and pre-aggregates to ``value_counts`` BEFORE the
+    shuffle, so the exchange carries at most |batch vocabulary| rows per
+    batch (vocab-bounded, ~Heaps'-law sublinear), never one row per token
+    occurrence.  The global groupby then sums slim (token, cnt) partials,
+    and top-k is a distributed ``sort(cnt desc, token asc).limit(k)`` on
+    the |vocab|-row table.  Ties at the k boundary are deterministic via
+    the token-ascending secondary key — identical to the SQL ORDER BY.
+    """
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["text"].fillna("").str.split().explode().value_counts()
+        return pd.DataFrame({"token": counts.index.astype(str),
+                             "cnt": counts.to_numpy(np.int64)})
+
+    from ray.data.aggregate import Sum
+    from ..state.bucketing import arrow_clean
+    parts = read_documents(sf_dir, ["text"]).map_batches(
+        _partial, batch_format="pandas")
+    totals = arrow_clean(parts).groupby("token").aggregate(
+        Sum("cnt", alias_name="cnt"))
+    return totals.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def length_quantiles(sf_dir: str):
+    """Exact per-lang length quantiles (p50/p90/p99 of ``n_chars``) via
+    distributed counting histograms — the length-distribution profile
+    every corpus-curation pipeline computes before choosing truncation /
+    filtering thresholds.
+
+    Exact (not approximate) at any scale because the value domain is
+    bounded: each batch pre-aggregates to (lang, n_chars) -> count, the
+    global groupby sums those histogram cells (shuffle carries at most
+    |langs| x |distinct lengths| rows), and the final per-lang pass walks
+    the cumulative histogram.  Quantile convention matches DuckDB's
+    ``quantile_disc``: the sorted value at index max(0, ceil(q*n) - 1),
+    verified against DuckDB for n in {3,4,5} at q in {0, .25, .5, .9,
+    .99, 1}.
+    """
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"}).astype(
+            {"n_chars": "int64", "cnt": "int64"})
+
+    from ray.data.aggregate import Sum
+    from ..state.bucketing import arrow_clean
+    parts = read_documents(sf_dir, ["lang", "n_chars"]).map_batches(
+        _partial, batch_format="pandas")
+    hist = arrow_clean(parts).groupby(["lang", "n_chars"]).aggregate(
+        Sum("cnt", alias_name="cnt"))
+
+    def _quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_chars")
+        vals = df["n_chars"].to_numpy(np.int64)
+        cum = df["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        def q(p: float) -> int:
+            # 1-based rank ceil(p*n) clamped to >= 1 (quantile_disc)
+            rank = max(1, int(np.ceil(p * n - 1e-9)))
+            return int(vals[np.searchsorted(cum, rank, side="left")])
+        return pd.DataFrame({
+            "lang": [df["lang"].iloc[0]],
+            "n_docs": np.array([n], dtype=np.int64),
+            "p50_chars": np.array([q(0.5)], dtype=np.int64),
+            "p90_chars": np.array([q(0.9)], dtype=np.int64),
+            "p99_chars": np.array([q(0.99)], dtype=np.int64),
+        })
+
+    return hist.groupby("lang").map_groups(
+        _quantiles, batch_format="pandas")
+
+
 def sample_docs_per_lang(sf_dir: str, n: int = 20):
     """Deterministic per-group sampling: the n docs with the smallest
     md5(doc_id) per language — a uniform, order-independent, reproducible
