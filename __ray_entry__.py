@@ -203,6 +203,11 @@ def q_length_quantiles(sf_dir: str):
     return length_quantiles(sf_dir)
 
 
+def q_doc_embedding_join(sf_dir: str):
+    from vidupe_ray.pipelines.ann import doc_embedding_join
+    return doc_embedding_join(sf_dir)
+
+
 def q_lowinfo(sf_dir: str):
     from vidupe_ray.pipelines.textops import lowinfo_by_lang
     return lowinfo_by_lang(sf_dir)
@@ -311,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats": q_bpe_token_stats,
         "top_tokens": q_top_tokens,
         "length_quantiles": q_length_quantiles,
+        "doc_embedding_join": q_doc_embedding_join,
         "lowinfo": q_lowinfo,
         "quality": q_quality,
         "langid": q_langid,
@@ -426,6 +432,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars,
                CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99_chars
         FROM documents GROUP BY lang"""
+
+    # cross-table equi-join; norms quantized to milli-units BEFORE
+    # squaring/summing so both engines sum exact integers (no float
+    # accumulation-order hazard); LEFT JOIN mirrors the enrich-with-nulls
+    # semantics of the Ray bucketed join
+    doc_embedding_join = """
+        SELECT d.doc_id, d.lang, d.n_chars, CAST(e.label AS BIGINT) AS label,
+               CAST(list_sum(list_transform(e.embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                       * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+                    AS BIGINT) AS norm_sq_fp
+        FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id"""
 
     lowinfo = f"""
         SELECT lang,
@@ -612,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": bpe_token_stats,
         "top_tokens": top_tokens,
         "length_quantiles": length_quantiles,
+        "doc_embedding_join": doc_embedding_join,
         "lowinfo": lowinfo,
         "quality": quality,
         "langid": _langid_sql(),

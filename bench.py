@@ -118,6 +118,7 @@ def run_bench() -> dict:
     timed("bpe_token_stats", textops.bpe_token_stats)
     timed("top_tokens", textops.top_tokens)
     timed("length_quantiles", textops.length_quantiles)
+    timed("doc_embedding_join", ann.doc_embedding_join)
     timed("quality", textops.quality_scores)
     timed("langid", textops.langid_guess)
     timed("trigram_jaccard", textops.trigram_jaccard_pairs)

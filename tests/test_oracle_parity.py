@@ -166,6 +166,44 @@ def test_top_tokens_limit_bites_with_boundary_ties(harness, tmp_path):
     assert list(g["cnt"].astype(int)) == list(want["cnt"].astype(int))
 
 
+def test_doc_embedding_join_missing_keys(harness, tmp_path):
+    """documents ⋈ embeddings where some docs have NO embedding row: the
+    bucketed enrich must emit nulls exactly where SQL LEFT JOIN does, and
+    integer norms must match where present."""
+    E, _ = harness
+    sf, con = _crafted_sf(tmp_path, ["alpha beta", "gamma", "delta", "eps"],
+                          ["en", "en", "de", "fr"])
+    emb = pd.DataFrame({
+        "vec_id": np.array([0, 2], dtype=np.int64),     # docs 1,3 missing
+        "embedding": [np.array([0.5, -1.25, 2.0], dtype=np.float32),
+                      np.array([1.0, 0.0, -0.001], dtype=np.float32)],
+        "label": np.array([7, 9], dtype=np.int32),
+    })
+    emb.to_parquet(f"{sf}/embeddings.parquet", index=False)
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+
+    got = E.queries()["doc_embedding_join"](sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = con.sql(E.oracle_sql()["doc_embedding_join"]).fetchdf()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert len(g) == 4 and len(w) == 4
+    for c in ["label", "norm_sq_fp"]:
+        gv = pd.to_numeric(g[c]).astype("float64")
+        wv = pd.to_numeric(w[c]).astype("float64")
+        assert (gv.isna() == wv.isna()).all(), c
+        np.testing.assert_array_equal(gv.dropna().to_numpy(),
+                                      wv.dropna().to_numpy(), err_msg=c)
+    # doc 0: floor-quantized milli-units 500, -1250, 2000
+    assert int(g.loc[0, "norm_sq_fp"]) == 500**2 + 1250**2 + 2000**2
+    # doc 2: float32(-0.001) = -0.00100000004749...; x1000 floors to -2
+    # (NOT -1) — the float32->double promotion happens identically in
+    # numpy and DuckDB, which is exactly what this pin checks
+    assert int(g.loc[g["doc_id"] == 2, "norm_sq_fp"].iloc[0]) == \
+        1000**2 + 0 + 4
+
+
 def test_length_quantiles_small_groups(harness, tmp_path):
     """Histogram-quantile parity with quantile_disc on degenerate group
     sizes: a 1-doc lang, a 2-doc lang, and a lang with repeated values."""

@@ -434,3 +434,34 @@ def ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
     from ..state.bucketing import arrow_clean
     return arrow_clean(partials).groupby("query_id").map_groups(
         _merge, batch_format="pandas")
+
+
+def doc_embedding_join(sf_dir: str):
+    """Cross-table equi-join: documents ⋈ embeddings on doc_id = vec_id,
+    emitting per-doc metadata enriched with the embedding's label and a
+    fixed-point squared norm — the "attach features to documents" step of
+    a training-data pipeline (filter docs by embedding-space properties).
+
+    Plan: both sides are big at corpus scale, so this goes straight to the
+    tagged-union bucketed shuffle (``bucketed_enrich``): embeddings are
+    reduced to slim (vec_id, label, norm_sq_fp) rows BEFORE the exchange
+    (the 256 B vector payload never rides the shuffle), then ONE bucketed
+    join appends both payload columns.  Float-hash parity with the SQL
+    oracle: values are quantized to milli-units (floor(x*1000) as int64)
+    *before* squaring/summing, so both engines sum exact integers — no
+    float accumulation-order hazard.
+    """
+    from ..state.joins import bucketed_enrich
+    from .textops import read_documents
+
+    def _slim(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(_matrix(df) * 1000.0).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "label": df["label"].astype("int64"),
+            "norm_sq_fp": (q * q).sum(axis=1).astype(np.int64)})
+
+    emb = read_embeddings(sf_dir).map_batches(_slim, batch_format="pandas")
+    docs = read_documents(sf_dir, ["doc_id", "lang", "n_chars"])
+    return bucketed_enrich(docs, "doc_id", emb, "vec_id",
+                           {"label": "label", "norm_sq_fp": "norm_sq_fp"})
