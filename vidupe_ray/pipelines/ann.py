@@ -262,8 +262,13 @@ def lsh_neardup_pairs(sf_dir: str, threshold: float = 0.45,
                            right_key="vec_id")
 
 
-def _ivf_centroids(sf_dir: str, n_cells: int, seed: int) -> np.ndarray:
-    """Deterministic coarse quantizer: sample rows, one Lloyd refinement."""
+def _ivf_centroids(sf_dir: str, n_cells: int, seed: int,
+                   max_iters: int = 8) -> np.ndarray:
+    """Deterministic coarse quantizer: spherical k-means (Lloyd) on a
+    bounded sample, iterated to assignment convergence (<= max_iters).
+    The sample is capped at 4096 rows regardless of table size, so the
+    build cost is constant at any corpus scale; the expensive full-table
+    pass happens exactly once, in ``_ivf_index``'s distributed assign."""
     sample = (read_embeddings(sf_dir)
               .random_sample(min(1.0, 4096 / max(read_embeddings(sf_dir).count(), 1)),
                              seed=seed)
@@ -272,13 +277,22 @@ def _ivf_centroids(sf_dir: str, n_cells: int, seed: int) -> np.ndarray:
     sm = sm / np.linalg.norm(sm, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
     cents = sm[rng.choice(len(sm), size=min(n_cells, len(sm)),
-                          replace=False)]
-    assign = (sm @ cents.T).argmax(axis=1)
-    for c in range(len(cents)):
-        members = sm[assign == c]
-        if len(members):
-            v = members.mean(axis=0)
-            cents[c] = v / np.linalg.norm(v)
+                          replace=False)].copy()
+    prev = None
+    for _ in range(max_iters):
+        assign = (sm @ cents.T).argmax(axis=1)
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        prev = assign
+        for c in range(len(cents)):
+            members = sm[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+            # empty cell: keep the old centroid (deterministic; it can
+            # re-acquire members next iteration)
     return cents
 
 
