@@ -6,11 +6,11 @@ caller (broadcast below ``cfg.broadcast_cap``, these above it):
 
 - ``sharded_key_refs`` + ``filter_by_key_shards`` — semi/anti join of a
   WIDE dataset against a key set, without shuffling the wide side and
-  without ever holding the full key set on the driver: keys are
-  bucket-sorted (a tiny-row shuffle), streamed bucket-at-a-time through
-  the driver, and ``ray.put`` as per-bucket sorted shards; each wide-side
-  task probes only its rows' buckets.  Driver peak memory = ONE shard
-  (``n_keys / buckets`` ids), not the key set.
+  without the key set EVER touching the driver: builder tasks shard
+  chunks of key blocks into per-bucket sorted-distinct partials
+  (``num_returns=buckets``), per-bucket merge tasks union them, and each
+  wide-side task probes only its rows' buckets.  Two fully-parallel task
+  waves; the driver holds ObjectRefs only.
 - ``bucketed_enrich`` — payload gather (the lookup join): left and right
   are tagged, unioned, and shuffled ONCE on ``hash(key) % buckets``; each
   bucket matches left rows to right payload with a vectorized sorted-array
@@ -61,52 +61,64 @@ def _arrow_schema(ds) -> tuple:
 # semi / anti join by key shards (wide side never shuffles)
 # --------------------------------------------------------------------------
 
-def sharded_key_refs(keys_ds, key_col: str, buckets: int) -> list:
+def _key_shard_builder(key_col: str, buckets: int):
+    @ray.remote(num_cpus=1)
+    def _build(*tables):
+        parts = [t.column(key_col).to_numpy(zero_copy_only=False)
+                 .astype(np.int64) for t in tables if t.num_rows]
+        if not parts:
+            v = np.empty(0, np.int64)
+        else:
+            v = np.unique(np.concatenate(parts))   # sorted + distinct
+        if buckets == 1:
+            return v            # bare array (num_returns stays 1)
+        b = bucket_of_ints(v, buckets)
+        # boolean-mask selection of a sorted array stays sorted
+        return tuple(v[b == bb] for bb in range(buckets))
+    return _build
+
+
+@ray.remote(num_cpus=1)
+def _merge_key_shard(*partials):
+    parts = [p for p in partials if len(p)]
+    if not parts:
+        return np.empty(0, np.int64)
+    if len(parts) == 1:
+        return parts[0]
+    return np.unique(np.concatenate(parts))
+
+
+def sharded_key_refs(keys_ds, key_col: str, buckets: int,
+                     blocks_per_builder: int = 8) -> list:
     """Distinct int64 keys of ``keys_ds`` -> per-bucket sorted uint-hash
     shards in the object store; returns ``[ObjectRef] * buckets``.
 
-    Keys are bucket-tagged and sorted by bucket (a shuffle of TINY rows
-    only), then streamed through the driver in bucket order — the driver
-    holds one bucket's keys at a time, never the full set.
+    Fully distributed two-wave task plan (no key ever passes through the
+    driver — at 100-TB key cardinality a driver stream would be the
+    bottleneck): builder tasks each take a chunk of materialized key
+    blocks and emit ``buckets`` sorted-distinct partials
+    (``num_returns=buckets``); one merge task per bucket unions its
+    partials.  Both waves run fully parallel; the driver only holds
+    ObjectRefs.
     """
-    def _tag(t: pa.Table) -> pa.Table:
-        v = t.column(key_col).to_numpy(zero_copy_only=False)
-        return pa.table({
-            "k": pa.array(v.astype(np.int64), pa.int64()),
-            "b": pa.array(bucket_of_ints(v, buckets), pa.int64())})
-
-    tagged = keys_ds.map_batches(_tag, batch_format="pyarrow")
-    refs = [None] * buckets
-    if buckets == 1:
-        parts = [t.column("k").to_numpy(zero_copy_only=False)
-                 for t in tagged.iter_batches(batch_size=1 << 20,
-                                              batch_format="pyarrow")]
-        allk = (np.unique(np.concatenate(parts)) if parts
-                else np.empty(0, np.int64))
-        refs[0] = ray.put(allk)
-        return refs
-
-    cur_b, cur_parts = None, []
-
-    def _flush():
-        nonlocal cur_b, cur_parts
-        if cur_b is not None:
-            refs[cur_b] = ray.put(np.unique(np.concatenate(cur_parts)))
-        cur_b, cur_parts = None, []
-
-    for t in tagged.sort("b").iter_batches(batch_size=1 << 20,
-                                           batch_format="pyarrow"):
-        k = t.column("k").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        for bb in np.unique(b):
-            seg = k[b == bb]
-            if cur_b is not None and bb != cur_b:
-                _flush()
-            cur_b = int(bb)
-            cur_parts.append(seg.astype(np.int64, copy=True))
-    _flush()
-    empty = ray.put(np.empty(0, np.int64))
-    return [r if r is not None else empty for r in refs]
+    mat = keys_ds.materialize()        # slim key column only
+    block_refs = list(mat.to_arrow_refs())
+    if not block_refs:
+        empty = ray.put(np.empty(0, np.int64))
+        return [empty] * buckets
+    builder = _key_shard_builder(key_col, buckets)
+    partial_refs = []
+    for i in range(0, len(block_refs), blocks_per_builder):
+        chunk = block_refs[i:i + blocks_per_builder]
+        if buckets == 1:
+            partial_refs.append([builder.remote(*chunk)])
+        else:
+            partial_refs.append(list(
+                builder.options(num_returns=buckets).remote(*chunk)))
+    if len(partial_refs) == 1:
+        return partial_refs[0]
+    return [_merge_key_shard.remote(*[p[b] for p in partial_refs])
+            for b in range(buckets)]
 
 
 def filter_by_key_shards(ds, key_col: str, shard_refs: list,
