@@ -467,7 +467,7 @@ def oracle_sql() -> dict[str, str]:
     trigram_jaccard = f"""
         WITH t AS (SELECT doc_id,
                           regexp_split_to_array({_TRIM}, '{_WS}+') AS arr
-                   FROM documents WHERE doc_id < 200 AND {_TRIM} != ''),
+                   FROM documents WHERE {_TRIM} != ''),
         g AS (SELECT DISTINCT doc_id,
                      arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
               FROM t, unnest(generate_series(1, greatest(len(arr) - 2, 0)))

@@ -220,3 +220,35 @@ def test_segment_boundaries_basic():
     keys = np.array([1, 1, 2, 2, 2, 7])
     assert segment_boundaries(keys).tolist() == [0, 2, 5, 6]
     assert segment_boundaries(np.array([])).tolist() == [0]
+
+
+def test_nonws_tokenizer_matches_str_split():
+    """Whitespace-split byte tokenizer (the hashed n-gram join's token
+    semantics): token counts match str.split() exactly, equal token
+    strings hash equally across docs, and the default-LUT path is
+    bit-identical to before the lut parameter existed."""
+    import pyarrow as pa
+    from vidupe_ray.functions import hashing as H
+
+    texts = ["a b c d", "  lead trail  ", "", "one", "x\ty\nz w",
+             "a  b\f\vc", None, "tab\there now", "\n\n\n",
+             "a b c a b c a b c"]
+    arr = pa.array(texts, pa.string())
+    th, off = H.byte_tokenize_hash(arr, 0x7216A3, lut=H._NONWS_LUT)
+    for i, t in enumerate(texts):
+        assert off[i + 1] - off[i] == len((t or "").split())
+    # equal tokens hash equally across documents
+    h_abcd = th[off[0]:off[1]]
+    h_rep = th[off[9]:off[10]]
+    assert h_abcd[0] == h_rep[0] == h_rep[3]
+    assert h_abcd[1] == h_rep[1]
+    # trigram shingles of a repeated phrase collapse to 3 distinct values
+    sh, soff = H.shingles_from_tokens(th, off, 3, 0x7216A3)
+    vals, voff = H.bottom_k_distinct(sh, soff, 1 << 62)
+    got = voff[10] - voff[9]
+    want = len({" ".join(texts[9].split()[i:i + 3]) for i in range(7)})
+    assert got == want
+    # regression guard: default-LUT callers are unchanged
+    a2, b2 = H.byte_tokenize_hash(arr, 42)
+    a3, b3 = H.byte_tokenize_hash(arr, 42, lut=None)
+    assert np.array_equal(a2, a3) and np.array_equal(b2, b3)

@@ -91,6 +91,13 @@ for _c in range(256):
         0x30 <= _c <= 0x39 or 0x41 <= _c <= 0x5A or 0x61 <= _c <= 0x7A
         or _c == 0x5F or _c >= 0x80)
 
+# whitespace-split semantics (token = maximal run of non-[ \t\f\v\r\n]
+# bytes) — matches str.split() / the oracle's regexp_split_to_array class;
+# used by the exact n-gram join, which defines tokens by whitespace, not \w
+_NONWS_LUT = np.ones(256, dtype=bool)
+for _c in b" \t\f\v\r\n":
+    _NONWS_LUT[_c] = False
+
 _POLY_P = U64(0x9E3779B97F4A7C15 | 1)   # odd => invertible mod 2^64
 
 
@@ -134,7 +141,7 @@ def _pow_tables(n: int) -> tuple:
     return t
 
 
-def byte_tokenize_hash(arr, seed: int) -> tuple:
+def byte_tokenize_hash(arr, seed: int, lut: np.ndarray | None = None) -> tuple:
     """Tokenize+hash an Arrow string array fully vectorized at byte level.
 
     Returns ``(token_hashes: uint64[N], tok_offsets: int64[D+1])`` —
@@ -183,7 +190,7 @@ def byte_tokenize_hash(arr, seed: int) -> tuple:
                                  side="left"))
         d1 = max(d1, d0 + 1)
         d1 = min(d1, ndocs)
-        h, cnts = _tokenize_span(b, doc_off, d0, d1, seed)
+        h, cnts = _tokenize_span(b, doc_off, d0, d1, seed, lut)
         if len(h):
             h_parts.append(h)
         counts_all[d0:d1] = cnts
@@ -196,9 +203,10 @@ def byte_tokenize_hash(arr, seed: int) -> tuple:
 
 
 def _tokenize_span(b: np.ndarray, doc_off: np.ndarray, d0: int, d1: int,
-                   seed: int) -> tuple:
+                   seed: int, lut: np.ndarray | None = None) -> tuple:
     """Token hashes + per-doc counts for docs [d0, d1) — all temporaries
-    sized to the span."""
+    sized to the span.  ``lut`` selects the token byte class (default the
+    \\w-run LUT; ``_NONWS_LUT`` gives whitespace-split semantics)."""
     lo, hi = int(doc_off[d0]), int(doc_off[d1])
     n = hi - lo
     if n == 0:
@@ -206,7 +214,7 @@ def _tokenize_span(b: np.ndarray, doc_off: np.ndarray, d0: int, d1: int,
     bb = b[lo:hi]
     span_off = doc_off[d0:d1 + 1] - lo
 
-    m = _WORD_LUT[bb]
+    m = (_WORD_LUT if lut is None else lut)[bb]
     prev = np.empty_like(m)
     prev[0] = False
     prev[1:] = m[:-1]

