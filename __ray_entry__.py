@@ -306,6 +306,11 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(sf_dir)
 
 
+def q_asof_join(sf_dir: str):
+    from vidupe_ray.pipelines.events import asof_join
+    return asof_join(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": q_normalize_docs,
@@ -337,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
         "heavy_hitters": q_heavy_hitters,
+        "asof_join": q_asof_join,
         "top_per_lang": q_top_per_lang,
         "sample_per_lang": q_sample_per_lang,
     }
@@ -614,12 +620,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, count(*) AS n FROM events
         GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"""
 
+    # as-of join: DuckDB's native ASOF JOIN is the oracle for the
+    # bucketed sort + forward-fill composition (inner semantics)
+    asof_join = """
+        SELECT c.event_id AS click_id, c.user_id,
+               v.event_id AS view_id,
+               CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts"""
+
     return {
         "media_features": media_features,
         "tumbling_window": tumbling_window,
         "hopping_window": hopping_window,
         "sessionize": sessionize,
         "heavy_hitters": heavy_hitters,
+        "asof_join": asof_join,
         "top_per_lang": top_per_lang,
         "sample_per_lang": sample_per_lang,
         "normalize_docs": normalize_docs,

@@ -295,3 +295,49 @@ def test_grid_pair_apply_all_empty_builder_chunk(ray_session):
     want = pd.DataFrame({"a": [1, 1, 2], "b": [2, 3, 3],
                          "s": [30, 40, 50]}).astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_asof_join_edge_cases(ray_session, tmp_path):
+    """As-of semantics vs pandas merge_asof on planted edge cases:
+    click at the exact view ts (inclusive match), click before any view
+    (drops), user with no views at all (drops), multiple clicks sharing
+    one view, view newer than every click (unused)."""
+    from vidupe_ray.pipelines.events import asof_join
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    s = np.timedelta64(1_000_000, "us")
+    rows = [
+        # user 1: views at t=10, t=20; clicks at t=5 (drop), t=10
+        # (inclusive -> view@10), t=15 (view@10), t=25 (view@20)
+        (101, 10, 1, "view"), (102, 20, 1, "view"),
+        (201, 5, 1, "click"), (202, 10, 1, "click"),
+        (203, 15, 1, "click"), (204, 25, 1, "click"),
+        # user 2: no views, one click (drops)
+        (205, 7, 2, "click"),
+        # user 3: one view after its only click (drops), plus a purchase
+        (103, 50, 3, "view"), (206, 40, 3, "click"),
+        (301, 41, 3, "purchase"),
+    ]
+    df = pd.DataFrame({
+        "event_id": np.array([r[0] for r in rows], np.int64),
+        "ts": base + np.array([r[1] for r in rows]) * s,
+        "user_id": np.array([r[2] for r in rows], np.int64),
+        "event_type": [r[3] for r in rows],
+        "value": np.zeros(len(rows)),
+    })
+    df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    got = asof_join(str(tmp_path)).to_pandas().sort_values(
+        "click_id").reset_index(drop=True)
+
+    clicks = df[df.event_type == "click"].sort_values("ts")
+    views = df[df.event_type == "view"].sort_values("ts")
+    want = pd.merge_asof(clicks, views, on="ts", by="user_id",
+                         direction="backward", suffixes=("", "_v"))
+    want = want.dropna(subset=["event_id_v"])
+    want = pd.DataFrame({
+        "click_id": want["event_id"].astype("int64").to_numpy(),
+        "view_id": want["event_id_v"].astype("int64").to_numpy(),
+    }).sort_values("click_id").reset_index(drop=True)
+    assert got["click_id"].tolist() == [202, 203, 204]
+    assert got[["click_id", "view_id"]].to_dict("list") == \
+        want.to_dict("list")
+    assert got["lag_us"].tolist() == [0, 5_000_000, 5_000_000]

@@ -10,7 +10,7 @@ import pytest
 SF = "/root/testdata/sf0.001"
 SUBSET = ["doc_stats", "exact_dedup", "token_stats", "bpe_token_stats",
           "quality", "heavy_hitters", "tumbling_window", "hopping_window",
-          "top_per_lang", "sample_per_lang"]
+          "top_per_lang", "sample_per_lang", "asof_join"]
 
 
 @pytest.fixture(scope="module")
