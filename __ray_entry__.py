@@ -311,6 +311,21 @@ def q_asof_join(sf_dir: str):
     return asof_join(sf_dir)
 
 
+def q_revenue_by_nation(sf_dir: str):
+    from vidupe_ray.pipelines.relational import revenue_by_nation
+    return revenue_by_nation(sf_dir)
+
+
+def q_top_orders(sf_dir: str):
+    from vidupe_ray.pipelines.relational import top_orders
+    return top_orders(sf_dir)
+
+
+def q_interval_join(sf_dir: str):
+    from vidupe_ray.pipelines.relational import interval_join
+    return interval_join(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": q_normalize_docs,
@@ -343,6 +358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "heavy_hitters": q_heavy_hitters,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders": q_top_orders,
         "top_per_lang": q_top_per_lang,
         "sample_per_lang": q_sample_per_lang,
     }
@@ -630,6 +648,47 @@ def oracle_sql() -> dict[str, str]:
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON c.user_id = v.user_id AND c.ts >= v.ts"""
 
+    # interval join: equality key + BETWEEN range predicate, left-outer
+    # count semantics (zero-view purchases kept)
+    interval_join = """
+        SELECT p.event_id AS purchase_id, p.user_id,
+               count(v.event_id) AS n_views
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        GROUP BY 1, 2"""
+
+    # money as integer micro-units: floor per row, int64 sums — identical
+    # double arithmetic on both sides, accumulation-order independent
+    _rev = ("CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) "
+            "AS BIGINT)")
+    revenue_by_nation = f"""
+        SELECT n_name,
+               CAST(SUM({_rev}) AS BIGINT) AS revenue_mu,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name"""
+
+    top_orders = f"""
+        SELECT l_orderkey,
+               CAST(SUM({_rev}) AS BIGINT) AS revenue_mu,
+               CAST(epoch_us(o_orderdate) AS BIGINT) AS orderdate_us
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue_mu DESC, l_orderkey
+        LIMIT 10"""
+
     return {
         "media_features": media_features,
         "tumbling_window": tumbling_window,
@@ -637,6 +696,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": sessionize,
         "heavy_hitters": heavy_hitters,
         "asof_join": asof_join,
+        "interval_join": interval_join,
+        "revenue_by_nation": revenue_by_nation,
+        "top_orders": top_orders,
         "top_per_lang": top_per_lang,
         "sample_per_lang": sample_per_lang,
         "normalize_docs": normalize_docs,

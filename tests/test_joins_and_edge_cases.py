@@ -341,3 +341,53 @@ def test_asof_join_edge_cases(ray_session, tmp_path):
     assert got[["click_id", "view_id"]].to_dict("list") == \
         want.to_dict("list")
     assert got["lag_us"].tolist() == [0, 5_000_000, 5_000_000]
+
+
+def test_interval_join_count_kernel():
+    """_count_upto vs a brute-force reference on random (uid, ts) data,
+    both inclusive and exclusive, including exact-boundary ties."""
+    from vidupe_ray.pipelines.relational import _count_upto
+    rng = np.random.RandomState(7)
+    uid_v = np.sort(rng.randint(0, 20, 300).astype(np.int64))
+    # coarse ts grid => plenty of exact ties between views and queries
+    ts_v = rng.randint(0, 50, 300).astype(np.int64)
+    order = np.lexsort((ts_v, uid_v))
+    uid_v, ts_v = uid_v[order], ts_v[order]
+    uid_q = rng.randint(0, 22, 100).astype(np.int64)   # some absent uids
+    ts_q = rng.randint(-5, 55, 100).astype(np.int64)
+    for inclusive in (True, False):
+        got = _count_upto(uid_v, ts_v, uid_q, ts_q, inclusive)
+        cmp = np.less_equal if inclusive else np.less
+        want = np.array([
+            int(((uid_v == u) & cmp(ts_v, t)).sum())
+            for u, t in zip(uid_q, ts_q)], np.int64)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_interval_join_edge_cases(ray_session, tmp_path):
+    """Window boundaries are inclusive on both ends; zero-view purchases
+    are kept (left-outer count semantics)."""
+    from vidupe_ray.pipelines.relational import interval_join
+    base = np.datetime64("2025-01-01T12:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = [
+        # user 1: views at -3600s (in, boundary), -3601s (out), 0s (in)
+        (1, -3600, 1, "view"), (2, -3601, 1, "view"), (3, 0, 1, "view"),
+        (10, 0, 1, "purchase"),
+        # user 2: no views at all
+        (11, 0, 2, "purchase"),
+        # user 3: only a future view
+        (4, 100, 3, "view"), (12, 0, 3, "purchase"),
+    ]
+    df = pd.DataFrame({
+        "event_id": np.array([r[0] for r in rows], np.int64),
+        "ts": base + np.array([r[1] for r in rows]) * s,
+        "user_id": np.array([r[2] for r in rows], np.int64),
+        "event_type": [r[3] for r in rows],
+        "value": np.zeros(len(rows)),
+    })
+    df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    got = interval_join(str(tmp_path)).to_pandas().sort_values(
+        "purchase_id").reset_index(drop=True)
+    assert got["purchase_id"].tolist() == [10, 11, 12]
+    assert got["n_views"].tolist() == [2, 0, 0]

@@ -10,14 +10,16 @@ import pytest
 SF = "/root/testdata/sf0.001"
 SUBSET = ["doc_stats", "exact_dedup", "token_stats", "bpe_token_stats",
           "quality", "heavy_hitters", "tumbling_window", "hopping_window",
-          "top_per_lang", "sample_per_lang", "asof_join"]
+          "top_per_lang", "sample_per_lang", "asof_join", "interval_join",
+          "revenue_by_nation", "top_orders"]
 
 
 @pytest.fixture(scope="module")
 def harness(ray_session):
     import __ray_entry__ as E
     con = duckdb.connect()
-    for t in ["documents", "embeddings", "events"]:
+    for t in ["documents", "embeddings", "events", "orders", "lineitem",
+              "customer", "nation"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     return E, con

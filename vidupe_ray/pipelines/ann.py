@@ -21,8 +21,8 @@ _EMB = "{sf}/embeddings.parquet"
 
 def read_embeddings(sf_dir: str):
     # source-level pandas-metadata strip (see textops.read_documents)
-    from ..state.bucketing import arrow_clean
-    return arrow_clean(rd.read_parquet(_EMB.format(sf=sf_dir)))
+    from ..state.bucketing import read_parquet_clean
+    return read_parquet_clean(_EMB.format(sf=sf_dir))
 
 
 def _matrix(df: pd.DataFrame) -> np.ndarray:

@@ -20,9 +20,8 @@ _WINDOW_S = 3600
 
 def read_events(sf_dir: str, columns=None):
     # source-level pandas-metadata strip (see textops.read_documents)
-    from ..state.bucketing import arrow_clean
-    return arrow_clean(
-        rd.read_parquet(_EVENTS.format(sf=sf_dir), columns=columns))
+    from ..state.bucketing import read_parquet_clean
+    return read_parquet_clean(_EVENTS.format(sf=sf_dir), columns=columns)
 
 
 def tumbling_window_stats(sf_dir: str, window_s: int = _WINDOW_S):

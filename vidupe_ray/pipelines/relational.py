@@ -1,0 +1,264 @@
+"""Relational join pipelines over the TPC-H-shaped tables — the classic
+distributed query shapes a data-processing engine must run beside the
+dedup/text operators: multi-table hash joins, join+filter+top-k, and a
+range (interval) join with an equality key.
+
+Shapes and scale plan:
+
+- fact⋈fact joins (lineitem⋈orders) go through ``bucketed_enrich`` — ONE
+  tagged-union shuffle co-partitions both sides by the join key; neither
+  side is ever collected or broadcast.
+- per-batch partial aggregation ALWAYS precedes the join/groupby shuffle
+  (lineitem compacts ~4× on l_orderkey before any exchange).
+- money is carried as integer micro-units (``floor(x·1e6)`` per row, then
+  int64 sums) so results are accumulation-order independent — required
+  for the DuckDB value-hash oracle and the right call at 100 TB anyway.
+- the 25-row ``nation`` dimension is read inside the final (tiny) stage,
+  never shuffled.
+
+Every function takes ``sf_dir`` and returns a Ray Dataset (or small
+pandas frame for top-k results); matching oracle SQL lives in
+``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..state import bucketing as B
+from ..state.joins import bucketed_enrich
+
+_MU = 1_000_000.0
+
+
+def read_table(sf_dir: str, name: str, columns=None):
+    """Pruned columnar read of one TPC-H table (pandas metadata stripped
+    at the read operator — see bucketing.read_parquet_clean)."""
+    return B.read_parquet_clean(f"{sf_dir}/{name}.parquet",
+                                columns=columns)
+
+
+def _rev_mu(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    # floor(price*(1-disc)*1e6): identical double arithmetic to the SQL
+    # expression (left-assoc, same IEEE ops), so per-row values match the
+    # oracle bit-exactly and int64 sums are order-independent
+    return np.floor(price * (1.0 - disc) * _MU).astype(np.int64)
+
+
+def _lineitem_partials(sf_dir: str, ship_after=None):
+    """(l_orderkey, rev_mu, n_items) partial rows: revenue floored to
+    micro-units per lineitem, then pre-summed per orderkey WITHIN the
+    batch — the shuffle carries ~1 row per (order, batch), not per item."""
+    cols = ["l_orderkey", "l_extendedprice", "l_discount"]
+    if ship_after is not None:
+        cols.append("l_shipdate")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if ship_after is not None:
+            t = t.filter(pc.greater(t.column("l_shipdate"),
+                                    pa.scalar(ship_after)))
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        if len(ok) == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_mu": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
+        rev = _rev_mu(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            t.column("l_discount").to_numpy(zero_copy_only=False))
+        keys, inv, cnt = np.unique(ok, return_inverse=True,
+                                   return_counts=True)
+        # float64 bincount is exact here: per-batch per-order sums are
+        # far below 2^53; the cross-batch accumulation is int64
+        sums = np.bincount(inv, weights=rev.astype(np.float64))
+        return pa.table({
+            "l_orderkey": pa.array(keys, pa.int64()),
+            "rev_mu": pa.array(sums.astype(np.int64), pa.int64()),
+            "n_items": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return read_table(sf_dir, "lineitem", cols).map_batches(
+        _partial, batch_format="pyarrow")
+
+
+def revenue_by_nation(sf_dir: str):
+    """Lineitem revenue rolled up to the customer's nation (TPC-H
+    Q5-flavored 4-table join).
+
+    Plan: lineitem partials ⋈ orders (orderkey, bucketed) ⋈ customer
+    (custkey, bucketed) → per-batch partial sums per nationkey → 25-row
+    groupby → nation names mapped inside the final tiny stage.
+    Output: n_name, revenue_mu, n_items.
+    """
+    partials = _lineitem_partials(sf_dir)
+    with_cust = bucketed_enrich(
+        partials, "l_orderkey",
+        read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "o_orderkey", {"o_custkey": "o_custkey"})
+    with_nat = bucketed_enrich(
+        with_cust, "o_custkey",
+        read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_custkey", {"c_nationkey": "nationkey"})
+
+    def _partial_nat(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("nationkey", as_index=False).agg(
+            revenue_mu=("rev_mu", "sum"), n_items=("n_items", "sum"))
+        g["nationkey"] = g["nationkey"].astype("int64")
+        g["revenue_mu"] = g["revenue_mu"].astype("int64")
+        g["n_items"] = g["n_items"].astype("int64")
+        return g
+
+    from ray.data.aggregate import Sum
+    per_nat = B.arrow_clean(
+        with_nat.map_batches(_partial_nat, batch_format="pandas")
+    ).groupby("nationkey").aggregate(
+        Sum("revenue_mu", alias_name="revenue_mu"),
+        Sum("n_items", alias_name="n_items"))
+
+    nation_path = f"{sf_dir}/nation.parquet"
+
+    def _name(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+        nat = pq.read_table(nation_path,
+                            columns=["n_nationkey", "n_name"]).to_pandas()
+        names = dict(zip(nat["n_nationkey"].astype("int64"),
+                         nat["n_name"]))
+        return pd.DataFrame({
+            "n_name": df["nationkey"].map(names),
+            "revenue_mu": df["revenue_mu"].astype("int64"),
+            "n_items": df["n_items"].astype("int64")})
+
+    return per_nat.map_batches(_name, batch_format="pandas")
+
+
+def top_orders(sf_dir: str, segment: str = "BUILDING",
+               cutoff: str = "1998-01-01", k: int = 10):
+    """Top-k orders by revenue for one market segment (TPC-H Q3-flavored):
+    orders placed before ``cutoff``, lineitems shipped after it.
+
+    Plan: filter each side at the read → orders ⋈ customer (bucketed) to
+    resolve the segment → lineitem partials ⋈ qualifying orders
+    (bucketed; non-qualifying drop as null payload) → exact per-orderkey
+    sums (one bucketed grouped_map) → per-block top-k partials merged on
+    the driver (O(blocks·k), never the full order table).
+    Output: l_orderkey, revenue_mu, orderdate_us.
+    """
+    cut = np.datetime64(cutoff, "us")
+
+    def _ofilter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("o_orderdate"), pa.scalar(cut)))
+
+    orders = read_table(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _ofilter, batch_format="pyarrow")
+    orders_seg = bucketed_enrich(
+        orders, "o_custkey",
+        read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        "c_custkey", {"c_mktsegment": "seg"})
+
+    def _qual(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("seg"), pa.scalar(segment)))
+        od = t.column("o_orderdate").cast(pa.int64())
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "orderdate_us": od})
+
+    qual = orders_seg.map_batches(_qual, batch_format="pyarrow")
+
+    joined = bucketed_enrich(
+        _lineitem_partials(sf_dir, ship_after=cut), "l_orderkey",
+        qual, "o_orderkey", {"orderdate_us": "orderdate_us"})
+
+    def _exact(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["orderdate_us"].notna()]
+        if not len(df):
+            return pd.DataFrame({
+                "l_orderkey": pd.Series(dtype="int64"),
+                "revenue_mu": pd.Series(dtype="int64"),
+                "orderdate_us": pd.Series(dtype="int64")})
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            revenue_mu=("rev_mu", "sum"), orderdate_us=("orderdate_us",
+                                                        "first"))
+        g["revenue_mu"] = g["revenue_mu"].astype("int64")
+        g["orderdate_us"] = g["orderdate_us"].astype("int64")
+        return g
+
+    per_order = B.grouped_map(joined, "l_orderkey", B.bucket_of_ints,
+                              _exact, batch_format="pandas")
+
+    def _block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_mu", "l_orderkey"],
+                              ascending=[False, True]).head(k)
+
+    top = (per_order.map_batches(_block_topk, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["revenue_mu", "l_orderkey"],
+                        ascending=[False, True]).head(k))
+    return top.reset_index(drop=True)
+
+
+def _count_upto(uid_v: np.ndarray, ts_v: np.ndarray, uid_q: np.ndarray,
+                ts_q: np.ndarray, inclusive: bool) -> np.ndarray:
+    """Per query q: count of (uid_v == uid_q[q]) rows with ts_v <= ts_q[q]
+    (inclusive) or < (exclusive).  Pure merge arithmetic — one lexsort of
+    the combined arrays, no composite-key overflow, no per-row loop.
+    ``(uid_v, ts_v)`` must already be lex-sorted."""
+    nv, nq = len(uid_v), len(uid_q)
+    uid = np.concatenate([uid_v, uid_q])
+    ts = np.concatenate([ts_v, ts_q])
+    # at equal (uid, ts): inclusive → view rows sort first (counted);
+    # exclusive → query rows sort first (tie not counted)
+    flag = np.concatenate([np.zeros(nv, np.int8), np.ones(nq, np.int8)])
+    if not inclusive:
+        flag = 1 - flag
+    order = np.lexsort((flag, ts, uid))
+    is_view = order < nv
+    cum = np.cumsum(is_view)
+    pos_of = np.empty(nv + nq, np.int64)
+    pos_of[order] = np.arange(nv + nq)
+    qpos = pos_of[nv:]
+    total_upto = cum[qpos] - is_view[qpos]
+    # subtract views belonging to earlier uids (uid_v is sorted)
+    base = np.searchsorted(uid_v, uid_q, side="left")
+    return total_upto - base
+
+
+def interval_join(sf_dir: str, window_s: int = 3600,
+                  left_type: str = "purchase", right_type: str = "view"):
+    """Range join with an equality key: for every ``left_type`` event,
+    the number of ``right_type`` events by the SAME user in
+    ``[ts − window, ts]`` (inclusive both ends; left outer — zero-view
+    purchases are kept).
+
+    Composition: bucket by user_id (one slim shuffle), lexsort within the
+    bucket, resolve the range predicate with two vectorized merge-counts
+    (≤ ts and < ts − window) — the documented pattern for operators Ray
+    Data lacks natively.  Output: purchase_id, user_id, n_views.
+    """
+    from .events import read_events
+    win = np.int64(window_s) * 1_000_000
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        lm, rm = et == left_type, et == right_type
+        if not lm.any():
+            return pd.DataFrame({
+                "purchase_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "n_views": pd.Series(dtype="int64")})
+        v_order = np.lexsort((ts[rm], uid[rm]))
+        uid_v, ts_v = uid[rm][v_order], ts[rm][v_order]
+        uid_q, ts_q, eid_q = uid[lm], ts[lm], eid[lm]
+        hi = _count_upto(uid_v, ts_v, uid_q, ts_q, inclusive=True)
+        lo = _count_upto(uid_v, ts_v, uid_q, ts_q - win, inclusive=False)
+        return pd.DataFrame({"purchase_id": eid_q, "user_id": uid_q,
+                             "n_views": (hi - lo).astype(np.int64)})
+
+    ev = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return B.grouped_map(ev, "user_id", B.bucket_of_ints, _count,
+                         batch_format="pandas")

@@ -36,6 +36,27 @@ def bucket_of_strings(s, num_buckets: int) -> np.ndarray:
             % U64(num_buckets)).astype(np.int64)
 
 
+def read_parquet_clean(path, columns=None, **kw):
+    """``ray.data.read_parquet`` with the file's b'pandas' schema metadata
+    stripped AT THE READ OPERATOR (a metadata-free ``schema=`` makes the
+    reader emit clean blocks), so not even ReadParquet/SplitBlocks logs
+    the pyarrow-16 schema-hash warning (VERDICT r2 #9).  Falls back to a
+    post-read strip when the footer can't be inspected (e.g. directory
+    inputs)."""
+    import ray.data as rd
+    if "schema" not in kw and isinstance(path, str):
+        try:
+            import pyarrow.parquet as pq
+            s = pq.read_schema(path).remove_metadata()
+            if columns:
+                s = pa.schema([s.field(n) for n in columns])
+            kw["schema"] = s
+        except Exception:
+            pass
+    ds = rd.read_parquet(path, columns=columns, **kw)
+    return ds if "schema" in kw else arrow_clean(ds)
+
+
 def arrow_clean(ds):
     """Strip the b'pandas' schema metadata from every block before a
     Dataset-level shuffle (groupby/aggregate/sort).  pandas->arrow block
