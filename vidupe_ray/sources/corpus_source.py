@@ -8,6 +8,7 @@ is pushed into the scan as a row filter so pruned rows never leave storage.
 
 from __future__ import annotations
 
+import pyarrow as pa
 import pyarrow.dataset as pads
 import ray.data as rd
 
@@ -28,7 +29,21 @@ def read_corpus(paths, lang_allowlist: tuple = (),
         kw["filter"] = pads.field("lang").isin(list(lang_allowlist))
     if num_blocks:
         kw["override_num_blocks"] = num_blocks
-    return rd.read_parquet(paths, columns=columns or CORPUS_COLUMNS, **kw)
+    cols = columns or CORPUS_COLUMNS
+    # pandas-written parquet attaches schema metadata (b'pandas': {...});
+    # a pa.Schema WITH metadata is unhashable (hash() hits the dict), so
+    # every downstream block concat logs "Failed to hash the schemas" and
+    # skips its dedup fast path.  Strip it AT THE READ OPERATOR (clean
+    # ``schema=`` -> reader emits clean blocks) rather than a post-read
+    # map_batches: the returned handle must stay an untransformed read so
+    # ``input_files()``-based size estimation keeps working (ADVICE r2).
+    if "schema" not in kw:
+        try:
+            s = pads.dataset(paths).schema.remove_metadata()
+            kw["schema"] = pa.schema([s.field(n) for n in cols])
+        except Exception:
+            pass
+    return rd.read_parquet(paths, columns=cols, **kw)
 
 
 def documents_as_corpus(sf_dir: str, lang_allowlist: tuple = ()):

@@ -84,9 +84,14 @@ def _orient_large_to_small(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"u": np.maximum(a, b), "v": np.minimum(a, b)})
 
 
-def _drop_self_loops(df: pd.DataFrame) -> pd.DataFrame:
-    out = df[df["a"] != df["b"]]
-    return out[["a", "b"]].drop_duplicates()
+def _drop_self_loops(df: pd.DataFrame):
+    out = df[df["a"] != df["b"]][["a", "b"]].drop_duplicates()
+    # Arrow-out with a metadata-free schema: pandas blocks here would be
+    # re-converted downstream (union with Arrow edge blocks) and the
+    # executor logs a schema-mismatch warning per run
+    import pyarrow as pa
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
 
 
 def _driver_union_find(edges_ds) -> "rd.Dataset":

@@ -94,7 +94,18 @@ def grouped_map(ds, key_col: str, bucket_fn, apply_fn,
             group = group.drop_columns([BUCKET_COL])
         else:
             group = group.drop(columns=[BUCKET_COL])
-        return apply_fn(group)
+        out = apply_fn(group)
+        # normalize output blocks to METADATA-FREE Arrow: a pandas return
+        # becomes a pandas block that Ray re-converts downstream WITH the
+        # b'pandas' metadata attached (the input-side strip above can't
+        # see it), resurfacing the unhashable-schema warning at the next
+        # concat.  The conversion happens downstream anyway — doing it
+        # here is the same work minus the metadata.
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        if isinstance(out, pa.Table) and out.schema.metadata:
+            out = out.replace_schema_metadata(None)
+        return out
 
     tagged = ds.map_batches(_tag, batch_format="pyarrow")
     return tagged.groupby(BUCKET_COL).map_groups(
