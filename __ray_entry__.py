@@ -311,6 +311,41 @@ def q_asof_join(sf_dir: str):
     return asof_join(sf_dir)
 
 
+def q_daily_active_users(sf_dir: str):
+    from vidupe_ray.pipelines.events import daily_active_users
+    return daily_active_users(sf_dir)
+
+
+def q_user_event_gaps(sf_dir: str):
+    from vidupe_ray.pipelines.events import user_event_gaps
+    return user_event_gaps(sf_dir)
+
+
+def q_rolling_value_sum(sf_dir: str):
+    from vidupe_ray.pipelines.events import rolling_value_sum
+    return rolling_value_sum(sf_dir)
+
+
+def q_event_type_pivot(sf_dir: str):
+    from vidupe_ray.pipelines.events import event_type_pivot
+    return event_type_pivot(sf_dir)
+
+
+def q_distinct_contents(sf_dir: str):
+    from vidupe_ray.pipelines.textops import distinct_contents
+    return distinct_contents(sf_dir)
+
+
+def q_hll_distinct_contents(sf_dir: str):
+    from vidupe_ray.pipelines.textops import hll_distinct_contents
+    return hll_distinct_contents(sf_dir)
+
+
+def q_customers_without_orders(sf_dir: str):
+    from vidupe_ray.pipelines.relational import customers_without_orders
+    return customers_without_orders(sf_dir)
+
+
 def q_revenue_by_nation(sf_dir: str):
     from vidupe_ray.pipelines.relational import revenue_by_nation
     return revenue_by_nation(sf_dir)
@@ -359,6 +394,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "daily_active_users": q_daily_active_users,
+        "user_event_gaps": q_user_event_gaps,
+        "rolling_value_sum": q_rolling_value_sum,
+        "event_type_pivot": q_event_type_pivot,
+        "distinct_contents": q_distinct_contents,
+        "hll_distinct_contents": q_hll_distinct_contents,
+        "customers_without_orders": q_customers_without_orders,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders": q_top_orders,
         "top_per_lang": q_top_per_lang,
@@ -638,6 +680,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, count(*) AS n FROM events
         GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"""
 
+    daily_active_users = """
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1"""
+
+    # LAG window: gap to the previous event of the same user in
+    # (ts, event_id) order; single-event users drop with the NULL gap
+    user_event_gaps = """
+        WITH g AS (SELECT user_id,
+                          epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, event_id) AS gap
+                   FROM events)
+        SELECT user_id, count(*) AS n_gaps,
+               CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+               CAST(max(gap) AS BIGINT) AS max_gap_us
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id"""
+
+    # ROWS-frame window aggregate on cent-scaled ints (exact for the
+    # 2-decimal inputs, accumulation-order independent on both sides)
+    rolling_value_sum = """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS roll_x100
+        FROM events"""
+
+    event_type_pivot = """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view
+        FROM events GROUP BY user_id"""
+
+    distinct_contents = """
+        SELECT count(DISTINCT text) AS n_distinct FROM documents"""
+
+    customers_without_orders = """
+        SELECT n_name, count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+        GROUP BY n_name"""
+
     # as-of join: DuckDB's native ASOF JOIN is the oracle for the
     # bucketed sort + forward-fill composition (inner semantics)
     asof_join = """
@@ -697,6 +792,14 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": heavy_hitters,
         "asof_join": asof_join,
         "interval_join": interval_join,
+        "daily_active_users": daily_active_users,
+        "user_event_gaps": user_event_gaps,
+        "rolling_value_sum": rolling_value_sum,
+        "event_type_pivot": event_type_pivot,
+        "distinct_contents": distinct_contents,
+        # hll_distinct_contents: approximate sketch, no SQL oracle —
+        # accuracy bar asserted in tests/test_textops_extra.py
+        "customers_without_orders": customers_without_orders,
         "revenue_by_nation": revenue_by_nation,
         "top_orders": top_orders,
         "top_per_lang": top_per_lang,

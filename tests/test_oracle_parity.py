@@ -11,7 +11,9 @@ SF = "/root/testdata/sf0.001"
 SUBSET = ["doc_stats", "exact_dedup", "token_stats", "bpe_token_stats",
           "quality", "heavy_hitters", "tumbling_window", "hopping_window",
           "top_per_lang", "sample_per_lang", "asof_join", "interval_join",
-          "revenue_by_nation", "top_orders"]
+          "revenue_by_nation", "top_orders", "daily_active_users",
+          "user_event_gaps", "rolling_value_sum", "event_type_pivot",
+          "distinct_contents", "customers_without_orders"]
 
 
 @pytest.fixture(scope="module")

@@ -171,6 +171,156 @@ def hopping_window_stats(sf_dir: str, window_s: int = 3600,
     return out.map_batches(_finish, batch_format="pandas")
 
 
+def daily_active_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per day — the grouped-distinct shape.
+
+    Two-level plan so the shuffle never carries the raw event stream:
+    per-batch (day, user) dedup first (the partial), then ONE bucketed
+    shuffle on user_id — each user's rows land in exactly one task, so
+    per-bucket distinct-counts per day sum to the exact global answer
+    (disjoint user sets).  Output: day (epoch days, int64), n_users.
+    """
+    from ray.data.aggregate import Sum
+    from ..state import bucketing as B
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        g = pd.DataFrame({"day": epoch // 86400,
+                          "user_id": df["user_id"].to_numpy(np.int64)})
+        return g.drop_duplicates()
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("day", as_index=False).agg(
+            n_users=("user_id", "size"))
+        g["day"] = g["day"].astype("int64")
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    ev = read_events(sf_dir, ["ts", "user_id"]).map_batches(
+        _partial, batch_format="pandas")
+    per_bucket = B.grouped_map(ev, "user_id", B.bucket_of_ints, _bucket,
+                               batch_format="pandas")
+    out = per_bucket.groupby("day").aggregate(
+        Sum("n_users", alias_name="n_users"))
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_users"] = df["n_users"].astype("int64")
+        df["day"] = df["day"].astype("int64")
+        return df[["day", "n_users"]]
+
+    return out.map_batches(_finish, batch_format="pandas")
+
+
+def user_event_gaps(sf_dir: str):
+    """Per-user inter-event gap stats — the LAG window shape: gap =
+    ts − previous ts of the SAME user in (ts, event_id) order.  Partition
+    by user (one slim bucketed shuffle), lexsort inside the bucket,
+    vectorized diff with a segment reset — no per-user loop.
+
+    Users with a single event have no gaps and drop (matches the SQL
+    ``WHERE gap IS NOT NULL``).  Output: user_id, n_gaps, sum_gap_us,
+    max_gap_us (all int64).
+    """
+    from ..state import bucketing as B
+
+    def _gaps(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        ts, uid = ts[order], uid[order]
+        same = uid[1:] == uid[:-1]
+        gap = (ts[1:] - ts[:-1])[same]
+        owner = uid[1:][same]
+        if len(owner) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "sum_gap_us": pd.Series(dtype="int64"),
+                "max_gap_us": pd.Series(dtype="int64")})
+        g = pd.DataFrame({"user_id": owner, "gap": gap}).groupby(
+            "user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), sum_gap_us=("gap", "sum"),
+            max_gap_us=("gap", "max"))
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return g
+
+    ev = read_events(sf_dir, ["event_id", "ts", "user_id"])
+    return B.grouped_map(ev, "user_id", B.bucket_of_ints, _gaps,
+                         batch_format="pandas")
+
+
+def rolling_value_sum(sf_dir: str, window: int = 3):
+    """Per-event rolling sum of the last ``window`` values of the same
+    user in (ts, event_id) order — the ROWS-frame window aggregate.
+    Values are scaled to cents FIRST (``rint(value·100)`` int64, exact
+    for 2-decimal inputs) so the rolling sums are integer and
+    accumulation-order independent on both sides of the oracle.
+
+    Output: event_id, user_id, roll_x100 (int64).
+    """
+    from ..state import bucketing as B
+
+    def _roll(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v100 = np.rint(df["value"].to_numpy(np.float64) * 100.0
+                       ).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, v100 = uid[order], eid[order], v100[order]
+        roll = v100.copy()
+        # rows are uid-sorted, so uid[j] == uid[j-i] implies the whole
+        # run between them is the same user — one comparison per depth
+        for i in range(1, window):
+            roll[i:] += np.where(uid[i:] == uid[:-i], v100[:-i], 0)
+        return pd.DataFrame({"event_id": eid, "user_id": uid,
+                             "roll_x100": roll})
+
+    ev = read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    return B.grouped_map(ev, "user_id", B.bucket_of_ints, _roll,
+                         batch_format="pandas")
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(sf_dir: str):
+    """Per-user event counts pivoted into one column per event type —
+    the conditional-aggregation (SUM(CASE WHEN ...)) shape.  Partial
+    (user, type) counts per batch, one bucketed shuffle on user_id, wide
+    row assembled per bucket.  Output: user_id, n_click, n_error,
+    n_purchase, n_signup, n_view.
+    """
+    from ..state import bucketing as B
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("event_type", "size"))
+        g["user_id"] = g["user_id"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def _pivot(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("n", "sum"))
+        wide = g.pivot_table(index="user_id", columns="event_type",
+                             values="n", aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({"user_id": wide.index.astype("int64")})
+        for t in EVENT_TYPES:
+            out[f"n_{t}"] = (wide[t].to_numpy() if t in wide.columns
+                             else 0)
+            out[f"n_{t}"] = out[f"n_{t}"].astype("int64")
+        return out.reset_index(drop=True)
+
+    ev = read_events(sf_dir, ["user_id", "event_type"]).map_batches(
+        _partial, batch_format="pandas")
+    return B.grouped_map(ev, "user_id", B.bucket_of_ints, _pivot,
+                         batch_format="pandas")
+
+
 def asof_join(sf_dir: str, left_type: str = "click",
               right_type: str = "view"):
     """As-of join: each ``left_type`` event matched to the most recent

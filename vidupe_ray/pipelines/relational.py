@@ -262,3 +262,62 @@ def interval_join(sf_dir: str, window_s: int = 3600,
     ev = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
     return B.grouped_map(ev, "user_id", B.bucket_of_ints, _count,
                          batch_format="pandas")
+
+
+def customers_without_orders(sf_dir: str, since: str = "1997-06-01"):
+    """Customers with no order at-or-after ``since``, counted per nation —
+    the anti-join shape (TPC-H Q22 flavor, churn variant: anti-joining
+    against ALL orders is vacuous on a corpus where every customer has
+    ordered at least once, so the key set is the recent-orders slice).
+
+    Plan: the recent-order custkeys become sharded key refs (distinct
+    int64 shards built by two task waves, never on the driver); the
+    customer table is anti-filtered IN PLACE against them (no shuffle of
+    the customer rows), then per-batch partial counts per nationkey feed
+    a 25-row groupby; nation names map inside the final tiny stage.
+    Output: n_name, n_customers.
+    """
+    from ..config import DEFAULT_CONFIG
+    from ..state.joins import sharded_key_refs, filter_by_key_shards
+    from ray.data.aggregate import Sum
+
+    cfg = DEFAULT_CONFIG
+    cut = np.datetime64(since, "us")
+
+    def _recent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("o_orderdate"),
+                                         pa.scalar(cut)))
+
+    okeys = read_table(sf_dir, "orders",
+                       ["o_custkey", "o_orderdate"]).map_batches(
+        _recent, batch_format="pyarrow").select_columns(["o_custkey"])
+    refs = sharded_key_refs(okeys, "o_custkey", cfg.join_buckets)
+    no_orders = filter_by_key_shards(
+        read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_custkey", refs, invert=True)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keys, cnt = np.unique(nk, return_counts=True)
+        return pa.table({
+            "nationkey": pa.array(keys.astype(np.int64), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    per_nat = no_orders.map_batches(
+        _partial, batch_format="pyarrow").groupby("nationkey").aggregate(
+        Sum("n", alias_name="n_customers"))
+
+    # the aggregate is <= |nations| rows; collect and name driver-side —
+    # an all-orders corpus yields an EMPTY aggregate whose Dataset loses
+    # the schema, so the typed empty frame is built explicitly
+    df = per_nat.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"n_name": pd.Series(dtype=object),
+                             "n_customers": pd.Series(dtype="int64")})
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+    return pd.DataFrame({
+        "n_name": df["nationkey"].map(names),
+        "n_customers": df["n_customers"].astype("int64")})

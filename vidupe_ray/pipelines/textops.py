@@ -509,3 +509,95 @@ def sample_docs_per_lang(sf_dir: str, n: int = 20):
     from ..state.bucketing import arrow_clean
     return arrow_clean(parts).groupby("lang").map_groups(
         _final, batch_format="pandas")
+
+
+def distinct_contents(sf_dir: str):
+    """Exact COUNT(DISTINCT text) over the corpus — the global-distinct
+    shape.  Per-batch partial dedup of 64-bit content hashes, one
+    bucketed shuffle of the (already thinned) hash rows, per-bucket
+    nunique, tiny sum — the raw text never shuffles and the driver sees
+    one row.  Output: single row, n_distinct (int64).
+
+    64-bit hashing makes this exact up to hash collisions (~n^2/2^65 —
+    negligible below billions of distinct docs); the oracle distinct is
+    on the text itself.
+    """
+    from ray.data.aggregate import Sum
+    from ..state import bucketing as B
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = B.bucket_of_strings(df["text"].to_numpy(object), 1 << 62)
+        return pd.DataFrame({"h": np.unique(h)})
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"one": np.zeros(1, np.int64),
+                             "n": np.array([df["h"].nunique()], np.int64)})
+
+    parts = read_documents(sf_dir, ["text"]).map_batches(
+        _partial, batch_format="pandas")
+    per_bucket = B.grouped_map(parts, "h", B.bucket_of_ints, _bucket,
+                               batch_format="pandas")
+    total = per_bucket.sum("n")
+    return pd.DataFrame({"n_distinct": np.array([int(total or 0)],
+                                                dtype=np.int64)})
+
+
+# HyperLogLog (Flajolet, Fuhr, Gandouet, Meunier 2007) with the linear-
+# counting small-range correction — the standard cardinality sketch.
+_HLL_P = 12                      # 4096 registers, ~1.6% standard error
+
+
+def _hll_partial_rows(h64: np.ndarray, p: int = _HLL_P):
+    """(register index, rank) rows for a batch of 64-bit hashes — the
+    mergeable partial: rank = leading-zeros(remaining bits) + 1."""
+    idx = (h64 >> np.uint64(64 - p)).astype(np.int64)
+    w = (h64 << np.uint64(p)).astype(np.uint64)
+    # position of the highest set bit via frexp on the float image: exact
+    # for the TOP bit even though the low bits are truncated to 53-bit
+    # mantissa precision
+    f = w.astype(np.float64)
+    _, e = np.frexp(f)
+    rank = np.where(w == 0, 64 - p + 1, 64 - e + 1).astype(np.int64)
+    df = pd.DataFrame({"reg": idx, "rank": rank})
+    return df.groupby("reg", as_index=False)["rank"].max()
+
+
+def hll_distinct_contents(sf_dir: str, p: int = _HLL_P):
+    """Approximate COUNT(DISTINCT text) via HyperLogLog — the scale path
+    when exact distinct is too wide: the shuffle carries at most 2^p
+    (register, max-rank) rows per batch regardless of input size, and the
+    2^p-row register table merges with one tiny groupby-max.
+
+    Output: single row — n_estimate (int64), n_registers, n_zero_registers.
+    Accuracy bar (±3 sigma ≈ 5%) is asserted against the exact operator in
+    ``tests/test_textops_extra.py``.
+    """
+    from ray.data.aggregate import Max
+    from ..state import bucketing as B
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        # full-range 64-bit hash: bucket_of_strings' modulo would zero
+        # the top bits, collapsing the register index space
+        from pandas.util import hash_array
+        from ..functions.hashing import mix64
+        h = mix64(hash_array(df["text"].to_numpy(object),
+                             categorize=False))
+        return _hll_partial_rows(h, p)
+
+    parts = read_documents(sf_dir, ["text"]).map_batches(
+        _partial, batch_format="pandas")
+    regs = B.arrow_clean(parts).groupby("reg").aggregate(
+        Max("rank", alias_name="rank"))
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.int64)
+    for b in regs.iter_batches(batch_size=m, batch_format="pandas"):
+        reg[b["reg"].to_numpy(np.int64)] = b["rank"].to_numpy(np.int64)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)          # linear counting correction
+    return pd.DataFrame({
+        "n_estimate": np.array([int(round(est))], dtype=np.int64),
+        "n_registers": np.array([m], dtype=np.int64),
+        "n_zero_registers": np.array([zeros], dtype=np.int64)})
