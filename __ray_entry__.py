@@ -346,6 +346,21 @@ def q_customers_without_orders(sf_dir: str):
     return customers_without_orders(sf_dir)
 
 
+def q_customer_order_stats(sf_dir: str):
+    from vidupe_ray.pipelines.relational import customer_order_stats
+    return customer_order_stats(sf_dir)
+
+
+def q_orders_rollup(sf_dir: str):
+    from vidupe_ray.pipelines.relational import orders_rollup
+    return orders_rollup(sf_dir)
+
+
+def q_embedding_clusters(sf_dir: str):
+    from vidupe_ray.pipelines.ann import embedding_clusters
+    return embedding_clusters(sf_dir)
+
+
 def q_revenue_by_nation(sf_dir: str):
     from vidupe_ray.pipelines.relational import revenue_by_nation
     return revenue_by_nation(sf_dir)
@@ -401,6 +416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_contents": q_distinct_contents,
         "hll_distinct_contents": q_hll_distinct_contents,
         "customers_without_orders": q_customers_without_orders,
+        "customer_order_stats": q_customer_order_stats,
+        "orders_rollup": q_orders_rollup,
+        "embedding_clusters": q_embedding_clusters,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders": q_top_orders,
         "top_per_lang": q_top_per_lang,
@@ -756,6 +774,52 @@ def oracle_sql() -> dict[str, str]:
          AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         GROUP BY 1, 2"""
 
+    # LEFT OUTER join aggregate: no-order customers carry zeros
+    customer_order_stats = """
+        SELECT c_custkey,
+               count(o_orderkey) AS n_orders,
+               CAST(coalesce(sum(
+                   CAST(floor(o_totalprice * 1000000) AS BIGINT)), 0)
+                   AS BIGINT) AS spend_mu
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey"""
+
+    # ROLLUP: subtotal keys coalesced to sentinels (o_year=-1, 'ALL')
+    orders_rollup = """
+        SELECT coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS o_year,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT))
+                    AS BIGINT) AS total_mu
+        FROM orders
+        GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)"""
+
+    # connected components over the cosine>=0.45 pair graph, solved in
+    # SQL by recursive min-label propagation — the independent oracle for
+    # the engine's hybrid driver/alternating-star CC (stages/cluster.py)
+    embedding_clusters = """
+        WITH RECURSIVE
+        f AS (SELECT vec_id,
+                     CAST(unnest(embedding) AS DOUBLE) AS v,
+                     unnest(generate_series(1, len(embedding))) AS pos
+              FROM embeddings),
+        n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+        p AS (SELECT d.a, d.b
+              FROM (SELECT qa.vec_id AS a, qb.vec_id AS b,
+                           sum(qa.v * qb.v) AS dot
+                    FROM f qa JOIN f qb ON qa.pos = qb.pos
+                                        AND qa.vec_id < qb.vec_id
+                    GROUP BY qa.vec_id, qb.vec_id) d
+              JOIN n na ON d.a = na.vec_id
+              JOIN n nb ON d.b = nb.vec_id
+              WHERE d.dot / (na.nrm * nb.nrm) >= 0.45),
+        e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        r(node, lab) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.b, r.lab FROM r JOIN e ON e.a = r.node)
+        SELECT node AS vec_id, min(lab) AS cluster_id FROM r GROUP BY node"""
+
     # money as integer micro-units: floor per row, int64 sums — identical
     # double arithmetic on both sides, accumulation-order independent
     _rev = ("CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) "
@@ -800,6 +864,9 @@ def oracle_sql() -> dict[str, str]:
         # hll_distinct_contents: approximate sketch, no SQL oracle —
         # accuracy bar asserted in tests/test_textops_extra.py
         "customers_without_orders": customers_without_orders,
+        "customer_order_stats": customer_order_stats,
+        "orders_rollup": orders_rollup,
+        "embedding_clusters": embedding_clusters,
         "revenue_by_nation": revenue_by_nation,
         "top_orders": top_orders,
         "top_per_lang": top_per_lang,

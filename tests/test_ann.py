@@ -131,3 +131,42 @@ def test_ivf_prunes_reads(ray_session):
     a = again[key].sort_values(key).reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(f, a)
+
+
+def test_embedding_clusters_transitive_merge(ray_session):
+    """Planted 3-chains: a~b and b~c near-dup (cos ~ 1) while a and c are
+    noticeably farther apart — connected components must still merge all
+    three into one cluster labeled min(vec_id), and unrelated vectors
+    stay singletons mapped to themselves."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vidupe_ray.pipelines.ann import embedding_clusters
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(50, 64))
+    mid = base + rng.normal(scale=0.02, size=(50, 64))
+    far = mid + rng.normal(scale=0.02, size=(50, 64))
+    lone = rng.normal(size=(50, 64))
+    vecs = np.concatenate([base, mid, far, lone])
+    df = pd.DataFrame({
+        "vec_id": np.arange(200, dtype=np.int64),
+        "embedding": [v.astype(np.float32) for v in vecs],
+        "label": np.zeros(200, dtype=np.int32)})
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.Table.from_pandas(df),
+                   os.path.join(d, "embeddings.parquet"))
+
+    out = embedding_clusters(d, threshold=0.99).to_pandas()
+    lab = dict(zip(out["vec_id"].astype(int), out["cluster_id"].astype(int)))
+    assert len(lab) == 200
+    merged = sum(1 for i in range(50)
+                 if lab[i] == lab[i + 50] == lab[i + 100] == i)
+    assert merged >= 45, f"only {merged}/50 chains fully merged"
+    # the unrelated block stays singleton-self (cos between random
+    # 64-dim gaussians is ~0 +- 0.12, far below any matching threshold)
+    assert all(lab[i] == i for i in range(150, 200))

@@ -13,7 +13,8 @@ SUBSET = ["doc_stats", "exact_dedup", "token_stats", "bpe_token_stats",
           "top_per_lang", "sample_per_lang", "asof_join", "interval_join",
           "revenue_by_nation", "top_orders", "daily_active_users",
           "user_event_gaps", "rolling_value_sum", "event_type_pivot",
-          "distinct_contents", "customers_without_orders"]
+          "distinct_contents", "customers_without_orders",
+          "customer_order_stats", "orders_rollup", "embedding_clusters"]
 
 
 @pytest.fixture(scope="module")

@@ -262,6 +262,37 @@ def lsh_neardup_pairs(sf_dir: str, threshold: float = 0.45,
                            right_key="vec_id")
 
 
+def embedding_clusters(sf_dir: str, threshold: float = 0.45):
+    """Near-duplicate CLUSTERS over the embedding table: connected
+    components of the cosine>=threshold pair graph, every vector labeled
+    with its component's min vec_id (singletons map to themselves) — the
+    embedding-space analogue of the flagship's cluster output, and an
+    independent oracle check of the CC machinery (the SQL side solves the
+    same graph with a recursive label-propagation CTE).
+
+    Plan: pairs come from the LSH scale path (slim keys shuffle, vectors
+    fetched per cell — ``lsh_neardup_pairs``), components from the hybrid
+    driver/alternating-star CC (``stages/cluster.py``), and the label
+    joins back onto all vec_ids through the cap-gated ``lookup_join``
+    (missing keys = singletons = self).  Output: vec_id, cluster_id.
+    """
+    import ray.data as rd
+    from ..config import DEFAULT_CONFIG
+    from ..stages.cluster import connected_components
+    from ..state.joins import lookup_join
+
+    pairs = lsh_neardup_pairs(sf_dir, threshold)
+    if isinstance(pairs, pa.Table):           # zero-candidate fast path
+        parents = rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+    else:
+        parents = connected_components(pairs.select_columns(["a", "b"]))
+    slim = read_embeddings(sf_dir).select_columns(["vec_id"])
+    return lookup_join(slim, "vec_id", parents, "doc_id", "cluster_id",
+                       "cluster_id", DEFAULT_CONFIG)
+
+
 def _ivf_centroids(sf_dir: str, n_cells: int, seed: int,
                    max_iters: int = 8) -> np.ndarray:
     """Deterministic coarse quantizer: spherical k-means (Lloyd) on a

@@ -264,6 +264,132 @@ def interval_join(sf_dir: str, window_s: int = 3600,
                          batch_format="pandas")
 
 
+def customer_order_stats(sf_dir: str):
+    """Per-customer order count and lifetime spend — the LEFT OUTER join
+    shape: every customer appears exactly once, customers with no orders
+    carry zeros (the join's null path, exercised distributed).
+
+    Plan: per-batch partial (custkey, n, spend_mu) sums compact the
+    orders stream BEFORE any exchange, one bucketed grouped_map makes
+    them exact per custkey, and ``bucketed_enrich`` left-joins the
+    partials onto the customer table (misses surface as nulls → zeros).
+    Spend is floored to integer micro-units per ORDER first, so sums are
+    accumulation-order independent on both engines.
+    Output: c_custkey, n_orders, spend_mu (all int64).
+    """
+    def _partial(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        if len(ck) == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "spend_mu": pa.array([], pa.int64())})
+        mu = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * _MU).astype(np.int64)
+        keys, inv, cnt = np.unique(ck, return_inverse=True,
+                                   return_counts=True)
+        # float64 bincount exact: per-batch per-customer sums << 2^53
+        sums = np.bincount(inv, weights=mu.astype(np.float64))
+        return pa.table({
+            "o_custkey": pa.array(keys, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            "spend_mu": pa.array(sums.astype(np.int64), pa.int64())})
+
+    parts = read_table(sf_dir, "orders",
+                       ["o_custkey", "o_totalprice"]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _exact(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("n", "sum"), spend_mu=("spend_mu", "sum"))
+        return g.astype({"o_custkey": "int64", "n_orders": "int64",
+                         "spend_mu": "int64"})
+
+    per_cust = B.grouped_map(parts, "o_custkey", B.bucket_of_ints,
+                             _exact, batch_format="pandas")
+    joined = bucketed_enrich(
+        read_table(sf_dir, "customer", ["c_custkey"]), "c_custkey",
+        per_cust, "o_custkey",
+        {"n_orders": "n_orders", "spend_mu": "spend_mu"})
+
+    def _fill(t: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "n_orders": pc.coalesce(t.column("n_orders"), z),
+            "spend_mu": pc.coalesce(t.column("spend_mu"), z)})
+
+    return joined.map_batches(_fill, batch_format="pyarrow")
+
+
+def orders_rollup(sf_dir: str):
+    """Order counts and value totaled per (year, priority), per year, and
+    grand-total — the GROUP BY ROLLUP shape.  Subtotal keys use sentinels
+    (o_year=-1, priority='ALL') instead of SQL NULLs so the value-hash
+    oracle compares cleanly.
+
+    Plan: per-batch partial (year, priority) cells (the combiner), one
+    tiny groupby over the |years|x|priorities| cell table, then the three
+    rollup levels expand from those cells in the final map stage — the
+    raw order stream is scanned once and never shuffled.
+    Output: o_year, priority, n_orders, total_mu.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "priority": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "mu": pa.array([], pa.int64())})
+        ts = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = (ts.astype("datetime64[Y]").astype(np.int64)
+                + 1970).astype(np.int64)
+        mu = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * _MU).astype(np.int64)
+        df = pd.DataFrame({
+            "o_year": year,
+            "priority": t.column("o_orderpriority").to_numpy(
+                zero_copy_only=False),
+            "mu": mu})
+        g = df.groupby(["o_year", "priority"], as_index=False).agg(
+            n=("mu", "size"), mu=("mu", "sum"))
+        return pa.table({
+            "o_year": pa.array(g["o_year"].to_numpy(np.int64), pa.int64()),
+            "priority": pa.array(g["priority"].astype(str), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "mu": pa.array(g["mu"].to_numpy(np.int64), pa.int64())})
+
+    cells = (read_table(sf_dir, "orders",
+                        ["o_orderdate", "o_totalprice", "o_orderpriority"])
+             .map_batches(_partial, batch_format="pyarrow")
+             .groupby(["o_year", "priority"])
+             .aggregate(Sum("n", alias_name="n_orders"),
+                        Sum("mu", alias_name="total_mu")))
+
+    def _rollup(df: pd.DataFrame) -> pd.DataFrame:
+        base = df.astype({"o_year": "int64", "n_orders": "int64",
+                          "total_mu": "int64"})[
+            ["o_year", "priority", "n_orders", "total_mu"]]
+        per_year = base.groupby("o_year", as_index=False).agg(
+            n_orders=("n_orders", "sum"), total_mu=("total_mu", "sum"))
+        per_year["priority"] = "ALL"
+        total = pd.DataFrame({
+            "o_year": np.array([-1], np.int64), "priority": ["ALL"],
+            "n_orders": np.array([base["n_orders"].sum()], np.int64),
+            "total_mu": np.array([base["total_mu"].sum()], np.int64)})
+        out = pd.concat([base, per_year[base.columns.tolist()], total],
+                        ignore_index=True)
+        return out.astype({"o_year": "int64", "n_orders": "int64",
+                           "total_mu": "int64"})
+
+    # the cell table is |years| x |priorities| rows — collapse to ONE
+    # block so the three rollup levels expand in a single final task
+    return B.arrow_clean(cells).repartition(1).map_batches(
+        _rollup, batch_format="pandas")
+
+
 def customers_without_orders(sf_dir: str, since: str = "1997-06-01"):
     """Customers with no order at-or-after ``since``, counted per nation —
     the anti-join shape (TPC-H Q22 flavor, churn variant: anti-joining
