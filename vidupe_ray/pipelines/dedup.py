@@ -239,7 +239,8 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     shuffle_bytes["pair_dedupe"] = cand_pairs.size_bytes()
     verified = lsh.verify_candidates(
         cand_pairs, signatures, cfg,
-        n_pairs=metrics["n_candidates"]).materialize()
+        n_pairs=metrics["n_candidates"],
+        n_sig_rows=metrics["n_winners"]).materialize()
     near = verified.filter(expr="kind == 'near'")
     cand = verified.filter(expr="kind == 'contain_cand'")
     if cfg.containment:

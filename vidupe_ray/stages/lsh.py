@@ -377,7 +377,11 @@ def apply_pair_decision(batch: pa.Table, jac: np.ndarray,
 
 
 def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig,
-                      n_pairs: int | None = None):
+                      n_pairs: int | None = None,
+                      n_sig_rows: int | None = None):
+    # n_sig_rows is accepted for call-site symmetry but unused: the
+    # candidate-id subset measured faster at every scale tried (see the
+    # grid-branch comment)
     """Phase 2: fetch MinHash signatures for candidate doc ids only and
     apply the Jaccard + length-modifier decision (the SSIM-stage analogue,
     ``comparison.cpp:144-147``) plus the containment-estimate pruning.
@@ -411,6 +415,14 @@ def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig,
         # zero-copy per cell (state/joins.grid_pair_apply) — the 1 KiB
         # signatures never ride a sort shuffle.
         from ..state.joins import grid_pair_apply
+        # The candidate-id subset costs three task waves (key shard
+        # builders, per-bucket merges, the filter scan) but always pays:
+        # unique candidate ids run far below pair-endpoint mentions
+        # (500k-doc bench: 193k unique ids vs 735k mentions over 429k
+        # rows), so the grid builders shard ~2x less payload and each
+        # cell reads ~2x less.  Skipping the subset when mentions>=rows
+        # was tried and measured SLOWER (interleaved best-of-4 at 32
+        # CPUs: 2.5 s subset vs 5.8 s direct) — kept unconditional.
         refs = sharded_key_refs(pair_id_ds(pairs_ds), "doc_id",
                                 cfg.join_buckets)
         sig_sub = filter_by_key_shards(
