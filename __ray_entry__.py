@@ -346,6 +346,21 @@ def q_customers_without_orders(sf_dir: str):
     return customers_without_orders(sf_dir)
 
 
+def q_pricing_summary(sf_dir: str):
+    from vidupe_ray.pipelines.relational import pricing_summary
+    return pricing_summary(sf_dir)
+
+
+def q_part_type_sales(sf_dir: str):
+    from vidupe_ray.pipelines.relational import part_type_sales
+    return part_type_sales(sf_dir)
+
+
+def q_supplier_region_revenue(sf_dir: str):
+    from vidupe_ray.pipelines.relational import supplier_region_revenue
+    return supplier_region_revenue(sf_dir)
+
+
 def q_customer_order_stats(sf_dir: str):
     from vidupe_ray.pipelines.relational import customer_order_stats
     return customer_order_stats(sf_dir)
@@ -417,6 +432,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_contents": q_hll_distinct_contents,
         "customers_without_orders": q_customers_without_orders,
         "customer_order_stats": q_customer_order_stats,
+        "pricing_summary": q_pricing_summary,
+        "part_type_sales": q_part_type_sales,
+        "supplier_region_revenue": q_supplier_region_revenue,
         "orders_rollup": q_orders_rollup,
         "embedding_clusters": q_embedding_clusters,
         "revenue_by_nation": q_revenue_by_nation,
@@ -774,6 +792,39 @@ def oracle_sql() -> dict[str, str]:
          AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         GROUP BY 1, 2"""
 
+    pricing_summary = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT))
+                    AS BIGINT) AS sum_base_mu,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS sum_disc_mu,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus"""
+
+    part_type_sales = """
+        SELECT p_type,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS revenue_mu,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type"""
+
+    supplier_region_revenue = """
+        SELECT r_name,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS revenue_mu
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name"""
+
     # LEFT OUTER join aggregate: no-order customers carry zeros
     customer_order_stats = """
         SELECT c_custkey,
@@ -865,6 +916,9 @@ def oracle_sql() -> dict[str, str]:
         # accuracy bar asserted in tests/test_textops_extra.py
         "customers_without_orders": customers_without_orders,
         "customer_order_stats": customer_order_stats,
+        "pricing_summary": pricing_summary,
+        "part_type_sales": part_type_sales,
+        "supplier_region_revenue": supplier_region_revenue,
         "orders_rollup": orders_rollup,
         "embedding_clusters": embedding_clusters,
         "revenue_by_nation": revenue_by_nation,

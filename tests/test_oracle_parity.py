@@ -14,7 +14,8 @@ SUBSET = ["doc_stats", "exact_dedup", "token_stats", "bpe_token_stats",
           "revenue_by_nation", "top_orders", "daily_active_users",
           "user_event_gaps", "rolling_value_sum", "event_type_pivot",
           "distinct_contents", "customers_without_orders",
-          "customer_order_stats", "orders_rollup", "embedding_clusters"]
+          "customer_order_stats", "orders_rollup", "embedding_clusters",
+          "pricing_summary", "part_type_sales", "supplier_region_revenue"]
 
 
 @pytest.fixture(scope="module")
@@ -22,7 +23,7 @@ def harness(ray_session):
     import __ray_entry__ as E
     con = duckdb.connect()
     for t in ["documents", "embeddings", "events", "orders", "lineitem",
-              "customer", "nation"]:
+              "customer", "nation", "part", "supplier", "region"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     return E, con

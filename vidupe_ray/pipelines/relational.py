@@ -264,6 +264,177 @@ def interval_join(sf_dir: str, window_s: int = 3600,
                          batch_format="pandas")
 
 
+def pricing_summary(sf_dir: str):
+    """Per (returnflag, linestatus) pricing summary (TPC-H Q1 flavor):
+    sums of quantity / price / discounted price and row counts, shipped
+    on-or-before the cutoff.  Pure scan + partial aggregation — the
+    shuffle carries one row per (flag, status, batch), never a lineitem.
+    Money in integer micro-units per ROW (order-independent sums).
+    Output: l_returnflag, l_linestatus, sum_qty, sum_base_mu,
+    sum_disc_mu, n_rows.
+    """
+    from ray.data.aggregate import Sum
+    cut = np.datetime64("1998-09-02", "us")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(cut)))
+        if t.num_rows == 0:
+            return pa.table({
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "sum_qty": pa.array([], pa.int64()),
+                "sum_base_mu": pa.array([], pa.int64()),
+                "sum_disc_mu": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64())})
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "l_returnflag": t.column("l_returnflag").to_numpy(
+                zero_copy_only=False),
+            "l_linestatus": t.column("l_linestatus").to_numpy(
+                zero_copy_only=False),
+            "qty": t.column("l_quantity").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "base_mu": np.floor(price * _MU).astype(np.int64),
+            "disc_mu": _rev_mu(price, disc)})
+        g = df.groupby(["l_returnflag", "l_linestatus"],
+                       as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_base_mu=("base_mu", "sum"),
+            sum_disc_mu=("disc_mu", "sum"), n_rows=("qty", "size"))
+        for c in ("sum_qty", "sum_base_mu", "sum_disc_mu", "n_rows"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    parts = read_table(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"]).map_batches(
+        _partial, batch_format="pyarrow")
+    return parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_mu", alias_name="sum_base_mu"),
+        Sum("sum_disc_mu", alias_name="sum_disc_mu"),
+        Sum("n_rows", alias_name="n_rows"))
+
+
+def part_type_sales(sf_dir: str):
+    """Discounted revenue per part type — fact⋈dimension join where the
+    dimension (part) is too big to assume broadcastable at 100 TB: per-
+    batch partial sums per l_partkey compact the fact stream, ONE
+    bucketed enrich attaches p_type, then per-batch partials feed the
+    tiny per-type groupby.  Output: p_type, revenue_mu, n_items.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(pk) == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "rev_mu": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
+        rev = _rev_mu(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            t.column("l_discount").to_numpy(zero_copy_only=False))
+        keys, inv, cnt = np.unique(pk, return_inverse=True,
+                                   return_counts=True)
+        sums = np.bincount(inv, weights=rev.astype(np.float64))
+        return pa.table({
+            "l_partkey": pa.array(keys, pa.int64()),
+            "rev_mu": pa.array(sums.astype(np.int64), pa.int64()),
+            "n_items": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    parts = read_table(sf_dir, "lineitem",
+                       ["l_partkey", "l_extendedprice",
+                        "l_discount"]).map_batches(
+        _partial, batch_format="pyarrow")
+    with_type = bucketed_enrich(
+        parts, "l_partkey",
+        read_table(sf_dir, "part", ["p_partkey", "p_type"]),
+        "p_partkey", {"p_type": "p_type"})
+
+    def _per_type(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_type", as_index=False).agg(
+            revenue_mu=("rev_mu", "sum"), n_items=("n_items", "sum"))
+        g["revenue_mu"] = g["revenue_mu"].astype("int64")
+        g["n_items"] = g["n_items"].astype("int64")
+        return g
+
+    return B.arrow_clean(
+        with_type.map_batches(_per_type, batch_format="pandas")
+    ).groupby("p_type").aggregate(
+        Sum("revenue_mu", alias_name="revenue_mu"),
+        Sum("n_items", alias_name="n_items"))
+
+
+def supplier_region_revenue(sf_dir: str):
+    """Discounted revenue per supplier REGION — the snowflake chain
+    lineitem ⋈ supplier ⋈ nation ⋈ region.  The fact stream compacts per
+    suppkey before its one bucketed enrich against supplier; the two
+    tiny dimensions (nation, region) never shuffle — they are read inside
+    the final ≤|nations|-row stage and applied as dict maps.
+    Output: r_name, revenue_mu.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        if len(sk) == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "rev_mu": pa.array([], pa.int64())})
+        rev = _rev_mu(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            t.column("l_discount").to_numpy(zero_copy_only=False))
+        keys, inv = np.unique(sk, return_inverse=True)
+        sums = np.bincount(inv, weights=rev.astype(np.float64))
+        return pa.table({
+            "l_suppkey": pa.array(keys, pa.int64()),
+            "rev_mu": pa.array(sums.astype(np.int64), pa.int64())})
+
+    parts = read_table(sf_dir, "lineitem",
+                       ["l_suppkey", "l_extendedprice",
+                        "l_discount"]).map_batches(
+        _partial, batch_format="pyarrow")
+    with_nat = bucketed_enrich(
+        parts, "l_suppkey",
+        read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", {"s_nationkey": "nationkey"})
+
+    def _per_nat(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("nationkey", as_index=False).agg(
+            revenue_mu=("rev_mu", "sum"))
+        g["nationkey"] = g["nationkey"].astype("int64")
+        g["revenue_mu"] = g["revenue_mu"].astype("int64")
+        return g
+
+    per_nat = B.arrow_clean(
+        with_nat.map_batches(_per_nat, batch_format="pandas")
+    ).groupby("nationkey").aggregate(
+        Sum("revenue_mu", alias_name="revenue_mu"))
+
+    nat_path = f"{sf_dir}/nation.parquet"
+    reg_path = f"{sf_dir}/region.parquet"
+
+    def _name(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+        nat = pq.read_table(nat_path).to_pandas()
+        reg = pq.read_table(reg_path).to_pandas()
+        n2r = dict(zip(nat["n_nationkey"].astype("int64"),
+                       nat["n_regionkey"].astype("int64")))
+        r2n = dict(zip(reg["r_regionkey"].astype("int64"), reg["r_name"]))
+        df = df.copy()
+        df["r_name"] = df["nationkey"].map(n2r).map(r2n)
+        g = df.groupby("r_name", as_index=False).agg(
+            revenue_mu=("revenue_mu", "sum"))
+        g["revenue_mu"] = g["revenue_mu"].astype("int64")
+        return g
+
+    # the per-nation aggregate is <= |nations| rows: collapse to one
+    # block so the region rollup happens in a single final task
+    return per_nat.repartition(1).map_batches(_name,
+                                              batch_format="pandas")
+
+
 def customer_order_stats(sf_dir: str):
     """Per-customer order count and lifetime spend — the LEFT OUTER join
     shape: every customer appears exactly once, customers with no orders
