@@ -346,6 +346,11 @@ def q_customers_without_orders(sf_dir: str):
     return customers_without_orders(sf_dir)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    from vidupe_ray.pipelines.textops import tfidf_top_terms
+    return tfidf_top_terms(sf_dir)
+
+
 def q_pricing_summary(sf_dir: str):
     from vidupe_ray.pipelines.relational import pricing_summary
     return pricing_summary(sf_dir)
@@ -432,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_contents": q_hll_distinct_contents,
         "customers_without_orders": q_customers_without_orders,
         "customer_order_stats": q_customer_order_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "pricing_summary": q_pricing_summary,
         "part_type_sales": q_part_type_sales,
         "supplier_region_revenue": q_supplier_region_revenue,
@@ -792,6 +798,28 @@ def oracle_sql() -> dict[str, str]:
          AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         GROUP BY 1, 2"""
 
+    # TF-IDF: df over the FULL corpus, output scoped to doc_id < 100;
+    # both engines rank by the floor-quantized integer score
+    tfidf_top_terms = f"""
+        WITH tok AS (
+            SELECT doc_id, token, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array({_TRIM}, '{_WS}+'))
+                           AS token
+                FROM documents)
+            WHERE token <> '' GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+        s AS (SELECT t.doc_id, t.token,
+                     CAST(floor(t.tf * ln(
+                         CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                         / dfreq.df) * 1000000) AS BIGINT) AS score_fp
+              FROM tok t JOIN dfreq USING (token)
+              WHERE t.doc_id < 100)
+        SELECT doc_id, token, score_fp FROM s
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY score_fp DESC, token ASC) <= 3"""
+
     pricing_summary = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -916,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         # accuracy bar asserted in tests/test_textops_extra.py
         "customers_without_orders": customers_without_orders,
         "customer_order_stats": customer_order_stats,
+        "tfidf_top_terms": tfidf_top_terms,
         "pricing_summary": pricing_summary,
         "part_type_sales": part_type_sales,
         "supplier_region_revenue": supplier_region_revenue,

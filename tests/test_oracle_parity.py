@@ -15,7 +15,8 @@ SUBSET = ["doc_stats", "exact_dedup", "token_stats", "bpe_token_stats",
           "user_event_gaps", "rolling_value_sum", "event_type_pivot",
           "distinct_contents", "customers_without_orders",
           "customer_order_stats", "orders_rollup", "embedding_clusters",
-          "pricing_summary", "part_type_sales", "supplier_region_revenue"]
+          "pricing_summary", "part_type_sales", "supplier_region_revenue",
+          "tfidf_top_terms"]
 
 
 @pytest.fixture(scope="module")

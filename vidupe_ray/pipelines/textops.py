@@ -601,3 +601,102 @@ def hll_distinct_contents(sf_dir: str, p: int = _HLL_P):
         "n_estimate": np.array([int(round(est))], dtype=np.int64),
         "n_registers": np.array([m], dtype=np.int64),
         "n_zero_registers": np.array([zeros], dtype=np.int64)})
+
+
+def tfidf_top_terms(sf_dir: str, scope: int = 100, k: int = 3):
+    """Per-document TF-IDF top-k terms — the classic relevance-weighting
+    op over a training corpus: score(doc, token) = tf x ln(N / df), with
+    document frequencies computed over the FULL corpus and the output
+    scoped to doc_id < ``scope`` (the query contract bounds output size,
+    not the computation).
+
+    Plan (all stages vocabulary- or scope-bounded):
+    1. per-batch explode -> exact per-(doc, token) tf (a document is one
+       row, so tf needs no shuffle);
+    2. df = one token-bucketed shuffle of distinct (token, doc) partials
+       pre-counted per batch (vocab-bounded rows, Heaps-law sublinear);
+    3. scoped tf rows and df rows meet in ONE string-bucketed
+       grouped_map (tagged union) where an exact pandas merge joins them
+       by the token string — no driver collection, no int-hash collision
+       risk;
+    4. per-doc top-k by (score_fp desc, token asc) over the tiny scoped
+       result.
+    Scores are floor-quantized to 1e-6 units (int64) so both engines
+    rank by identical integers.  Output: doc_id, token, score_fp.
+    """
+    from ray.data.aggregate import Sum
+    from ..state import bucketing as B
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _tf(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").str.split().explode().dropna()
+        t = t[t != ""]
+        ids = df["doc_id"].reindex(t.index)
+        g = pd.DataFrame({"doc_id": ids.to_numpy(np.int64),
+                          "token": t.to_numpy(object)})
+        out = g.groupby(["doc_id", "token"], as_index=False).size()
+        out = out.rename(columns={"size": "tf"})
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    tf_all = docs.map_batches(_tf, batch_format="pandas")
+
+    def _df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # (doc, token) rows are already distinct within a batch
+        g = df.groupby("token", as_index=False).size()
+        g = g.rename(columns={"size": "df"})
+        g["df"] = g["df"].astype("int64")
+        return g
+
+    df_table = B.arrow_clean(
+        tf_all.map_batches(_df_partial, batch_format="pandas")
+    ).groupby("token").aggregate(Sum("df", alias_name="df"))
+
+    tf_scoped = tf_all.filter(expr=f"doc_id < {scope}")
+
+    def _tag_tf(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["df"] = np.int64(0)
+        df["side"] = np.int8(0)
+        return df[["token", "doc_id", "tf", "df", "side"]]
+
+    def _tag_df(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"token": df["token"].to_numpy(object)})
+        out["doc_id"] = np.int64(-1)
+        out["tf"] = np.int64(0)
+        out["df"] = df["df"].to_numpy(np.int64)
+        out["side"] = np.int8(1)
+        return out
+
+    union = (tf_scoped.map_batches(_tag_tf, batch_format="pandas")
+             .union(df_table.map_batches(_tag_df, batch_format="pandas")))
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == 0]
+        if not len(left):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "token": pd.Series(dtype=object),
+                                 "score_fp": pd.Series(dtype="int64")})
+        right = df[df["side"] == 1][["token", "df"]]
+        m = left[["doc_id", "token", "tf"]].merge(right, on="token",
+                                                  how="inner")
+        score = (m["tf"].to_numpy(np.float64)
+                 * np.log(float(n_docs) / m["df"].to_numpy(np.float64))
+                 * 1_000_000.0)
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "token": m["token"].to_numpy(object),
+            "score_fp": np.floor(score).astype(np.int64)})
+
+    scored = B.grouped_map(union, "token", B.bucket_of_strings, _score,
+                           batch_format="pandas")
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "score_fp", "token"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("doc_id", as_index=False).head(k)
+
+    return B.grouped_map(scored, "doc_id", B.bucket_of_ints, _topk,
+                         batch_format="pandas")
