@@ -125,6 +125,13 @@ def run_bench() -> dict:
     timed("ann_topk", ann.ann_topk)
     timed("ann_topk_ivf", ann.ivf_topk)
     timed("embedding_neardup", ann.embedding_neardup_pairs)
+    timed("embedding_clusters", ann.embedding_clusters)
+    timed("tfidf_top_terms", textops.tfidf_top_terms)
+    timed("distinct_contents", textops.distinct_contents)
+    timed("hll_distinct_contents", textops.hll_distinct_contents)
+    from vidupe_ray.pipelines import relational
+    timed("pricing_summary", relational.pricing_summary)
+    timed("part_type_sales", relational.part_type_sales)
 
     result = {
         "metric": "e2e_dedup_seconds",

@@ -281,7 +281,18 @@ def embedding_clusters(sf_dir: str, threshold: float = 0.45):
     from ..stages.cluster import connected_components
     from ..state.joins import lookup_join
 
-    pairs = lsh_neardup_pairs(sf_dir, threshold)
+    # cap-gated pair source (the engine-wide broadcast-vs-shuffle rule):
+    # under the cap the exact one-matmul path wins — at a LOOSE threshold
+    # hyperplane-LSH degenerates toward all-pairs (lsh_plan docstring), so
+    # paying its banding/dedupe/grid shuffles only makes sense when the
+    # matrix can no longer broadcast.  Both sources emit the exact same
+    # pair set (the LSH path verifies exactly in-cell), so the gate never
+    # changes the answer, only the plan.
+    emb = read_embeddings(sf_dir)
+    if emb.count() <= DEFAULT_CONFIG.broadcast_cap // 4:
+        pairs = embedding_neardup_pairs(sf_dir, threshold)
+    else:
+        pairs = lsh_neardup_pairs(sf_dir, threshold)
     if isinstance(pairs, pa.Table):           # zero-candidate fast path
         parents = rd.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),

@@ -610,21 +610,20 @@ def tfidf_top_terms(sf_dir: str, scope: int = 100, k: int = 3):
     scoped to doc_id < ``scope`` (the query contract bounds output size,
     not the computation).
 
-    Plan (all stages vocabulary- or scope-bounded):
+    Plan (all stages vocabulary- or scope-bounded, ONE shuffle total):
     1. per-batch explode -> exact per-(doc, token) tf (a document is one
        row, so tf needs no shuffle);
-    2. df = one token-bucketed shuffle of distinct (token, doc) partials
-       pre-counted per batch (vocab-bounded rows, Heaps-law sublinear);
-    3. scoped tf rows and df rows meet in ONE string-bucketed
-       grouped_map (tagged union) where an exact pandas merge joins them
-       by the token string — no driver collection, no int-hash collision
-       risk;
-    4. per-doc top-k by (score_fp desc, token asc) over the tiny scoped
+    2. per-batch df PARTIALS (distinct docs per token within the batch,
+       vocab-bounded, Heaps-law sublinear) are tagged and unioned with
+       the scoped tf rows into one string-bucketed grouped_map: every
+       partial of a token lands in the same bucket, so the exact df sum,
+       the string-exact join, and the score all happen in that single
+       exchange — no separate vocabulary-wide aggregate;
+    3. per-doc top-k by (score_fp desc, token asc) over the tiny scoped
        result.
     Scores are floor-quantized to 1e-6 units (int64) so both engines
     rank by identical integers.  Output: doc_id, token, score_fp.
     """
-    from ray.data.aggregate import Sum
     from ..state import bucketing as B
 
     docs = read_documents(sf_dir, ["doc_id", "text"])
@@ -641,37 +640,24 @@ def tfidf_top_terms(sf_dir: str, scope: int = 100, k: int = 3):
         out["tf"] = out["tf"].astype("int64")
         return out
 
-    tf_all = docs.map_batches(_tf, batch_format="pandas")
-
-    def _df_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def _tag_both(docs_df: pd.DataFrame) -> pd.DataFrame:
+        """ONE tokenize pass per batch emits both union sides: scoped tf
+        rows (side 0) and the batch's df partials (side 1) — the corpus
+        is scanned once, not once per branch."""
+        tf = _tf(docs_df)
+        scoped = tf[tf["doc_id"] < scope][["token", "doc_id", "tf"]].copy()
+        scoped["df"] = np.int64(0)
+        scoped["side"] = np.int8(0)
         # (doc, token) rows are already distinct within a batch
-        g = df.groupby("token", as_index=False).size()
-        g = g.rename(columns={"size": "df"})
-        g["df"] = g["df"].astype("int64")
-        return g
+        g = tf.groupby("token", as_index=False).size()
+        part = pd.DataFrame({"token": g["token"].to_numpy(object)})
+        part["doc_id"] = np.int64(-1)
+        part["tf"] = np.int64(0)
+        part["df"] = g["size"].to_numpy(np.int64)
+        part["side"] = np.int8(1)
+        return pd.concat([scoped, part], ignore_index=True)
 
-    df_table = B.arrow_clean(
-        tf_all.map_batches(_df_partial, batch_format="pandas")
-    ).groupby("token").aggregate(Sum("df", alias_name="df"))
-
-    tf_scoped = tf_all.filter(expr=f"doc_id < {scope}")
-
-    def _tag_tf(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["df"] = np.int64(0)
-        df["side"] = np.int8(0)
-        return df[["token", "doc_id", "tf", "df", "side"]]
-
-    def _tag_df(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"token": df["token"].to_numpy(object)})
-        out["doc_id"] = np.int64(-1)
-        out["tf"] = np.int64(0)
-        out["df"] = df["df"].to_numpy(np.int64)
-        out["side"] = np.int8(1)
-        return out
-
-    union = (tf_scoped.map_batches(_tag_tf, batch_format="pandas")
-             .union(df_table.map_batches(_tag_df, batch_format="pandas")))
+    union = docs.map_batches(_tag_both, batch_format="pandas")
 
     def _score(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["side"] == 0]
@@ -679,7 +665,8 @@ def tfidf_top_terms(sf_dir: str, scope: int = 100, k: int = 3):
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "token": pd.Series(dtype=object),
                                  "score_fp": pd.Series(dtype="int64")})
-        right = df[df["side"] == 1][["token", "df"]]
+        right = df[df["side"] == 1].groupby("token", as_index=False).agg(
+            df=("df", "sum"))
         m = left[["doc_id", "token", "tf"]].merge(right, on="token",
                                                   how="inner")
         score = (m["tf"].to_numpy(np.float64)
