@@ -346,6 +346,16 @@ def q_customers_without_orders(sf_dir: str):
     return customers_without_orders(sf_dir)
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    from vidupe_ray.pipelines.textops import dup_rate_by_source
+    return dup_rate_by_source(sf_dir)
+
+
+def q_engaged_users(sf_dir: str):
+    from vidupe_ray.pipelines.events import engaged_users
+    return engaged_users(sf_dir)
+
+
 def q_tfidf_top_terms(sf_dir: str):
     from vidupe_ray.pipelines.textops import tfidf_top_terms
     return tfidf_top_terms(sf_dir)
@@ -438,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "customer_order_stats": q_customer_order_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "engaged_users": q_engaged_users,
         "pricing_summary": q_pricing_summary,
         "part_type_sales": q_part_type_sales,
         "supplier_region_revenue": q_supplier_region_revenue,
@@ -798,6 +810,27 @@ def oracle_sql() -> dict[str, str]:
          AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         GROUP BY 1, 2"""
 
+    # per-source exact-duplicate rate: dup = text appears anywhere else
+    dup_rate_by_source = """
+        WITH g AS (SELECT source,
+                          count(*) OVER (PARTITION BY text) AS c
+                   FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs
+        FROM g GROUP BY source"""
+
+    # set operations: (click users INTERSECT signup users) EXCEPT
+    # users with any big purchase
+    engaged_users = """
+        SELECT user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'signup')
+        EXCEPT
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 90"""
+
     # TF-IDF: df over the FULL corpus, output scoped to doc_id < 100;
     # both engines rank by the floor-quantized integer score
     tfidf_top_terms = f"""
@@ -945,6 +978,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": customers_without_orders,
         "customer_order_stats": customer_order_stats,
         "tfidf_top_terms": tfidf_top_terms,
+        "dup_rate_by_source": dup_rate_by_source,
+        "engaged_users": engaged_users,
         "pricing_summary": pricing_summary,
         "part_type_sales": part_type_sales,
         "supplier_region_revenue": supplier_region_revenue,

@@ -16,7 +16,7 @@ SUBSET = ["doc_stats", "exact_dedup", "token_stats", "bpe_token_stats",
           "distinct_contents", "customers_without_orders",
           "customer_order_stats", "orders_rollup", "embedding_clusters",
           "pricing_summary", "part_type_sales", "supplier_region_revenue",
-          "tfidf_top_terms"]
+          "tfidf_top_terms", "dup_rate_by_source", "engaged_users"]
 
 
 @pytest.fixture(scope="module")

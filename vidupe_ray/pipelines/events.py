@@ -379,3 +379,39 @@ def asof_join(sf_dir: str, left_type: str = "click",
     ev = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
     return B.grouped_map(ev, "user_id", B.bucket_of_ints, _asof,
                          batch_format="pandas")
+
+
+def engaged_users(sf_dir: str, big_purchase: float = 90.0):
+    """Users who clicked AND signed up but never made a big purchase —
+    the set-operation shape ((click ∩ signup) ∖ big-purchase) composed
+    from per-user boolean partials: each batch emits at most one row per
+    user seen, one user-bucketed exchange ORs the flags, and the verdict
+    is a vectorized boolean expression.  No per-set subquery scans, no
+    distinct-shuffles — the event stream is read once.
+    Output: user_id (int64).
+    """
+    from ..state import bucketing as B
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        val = df["value"].to_numpy(np.float64)
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "has_click": (et == "click").astype(np.int64),
+            "has_signup": (et == "signup").astype(np.int64),
+            "has_big": ((et == "purchase")
+                        & (val > big_purchase)).astype(np.int64)})
+        return g.groupby("user_id", as_index=False).max()
+
+    def _resolve(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).max()
+        keep = ((g["has_click"] == 1) & (g["has_signup"] == 1)
+                & (g["has_big"] == 0))
+        return pd.DataFrame({
+            "user_id": g.loc[keep, "user_id"].to_numpy(np.int64)})
+
+    ev = read_events(sf_dir, ["user_id", "event_type",
+                              "value"]).map_batches(
+        _partial, batch_format="pandas")
+    return B.grouped_map(ev, "user_id", B.bucket_of_ints, _resolve,
+                         batch_format="pandas")

@@ -687,3 +687,50 @@ def tfidf_top_terms(sf_dir: str, scope: int = 100, k: int = 3):
 
     return B.grouped_map(scored, "doc_id", B.bucket_of_ints, _topk,
                          batch_format="pandas")
+
+
+def dup_rate_by_source(sf_dir: str):
+    """Exact-duplicate rate per ingestion source — the per-source
+    curation report every multi-source training pipeline runs before
+    deciding which feeds to keep: docs whose full text appears anywhere
+    else in the corpus (any source), counted per source.
+
+    Plan: one content-hash-bucketed shuffle of slim (hash, source) rows
+    marks duplicated contents exactly (all copies of a text land in one
+    bucket); per-source counts then partial-aggregate into a tiny
+    groupby.  The text itself never shuffles.  Output: source, n_docs,
+    n_dup_docs (int64).
+    """
+    from ray.data.aggregate import Sum
+    from ..state import bucketing as B
+
+    def _slim(df: pd.DataFrame) -> pd.DataFrame:
+        from pandas.util import hash_array
+        h = hash_array(df["text"].fillna("").to_numpy(object),
+                       categorize=False).astype(np.int64)
+        return pd.DataFrame({"h": h,
+                             "source": df["source"].to_numpy(object)})
+
+    def _mark(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df.groupby("h")["h"].transform("size") > 1
+        g = pd.DataFrame({"source": df["source"].to_numpy(object),
+                          "n_docs": np.ones(len(df), np.int64),
+                          "n_dup_docs": dup.to_numpy().astype(np.int64)})
+        return g.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_dup_docs=("n_dup_docs", "sum"))
+
+    slim = read_documents(sf_dir, ["text", "source"]).map_batches(
+        _slim, batch_format="pandas")
+    parts = B.grouped_map(slim, "h", B.bucket_of_ints, _mark,
+                          batch_format="pandas")
+    out = B.arrow_clean(parts).groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_dup_docs", alias_name="n_dup_docs"))
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_docs"] = df["n_docs"].astype("int64")
+        df["n_dup_docs"] = df["n_dup_docs"].astype("int64")
+        return df[["source", "n_docs", "n_dup_docs"]]
+
+    return out.map_batches(_fin, batch_format="pandas")
