@@ -346,7 +346,9 @@ def _merged_shard(refs_token, bucket: int, shard_refs):
 def grid_pair_apply(pairs_ds, right_ds, apply_fn, k: int = 8,
                     right_key: str = "doc_id",
                     a_col: str = "a", b_col: str = "b",
-                    blocks_per_builder: int = 8):
+                    blocks_per_builder: int = 8,
+                    cell_payload_budget: int = 384 << 20,
+                    max_k: int = 32):
     """Two-key payload join where ONLY THE SLIM PAIR ROWS SHUFFLE.
 
     The naive plan enriches pairs twice (``bucketed_enrich`` on a, then
@@ -365,8 +367,19 @@ def grid_pair_apply(pairs_ds, right_ds, apply_fn, k: int = 8,
 
     The partitioning assumption: ``right_key`` is unique per row (doc_id);
     payload volume read per cell is ``|right| / k`` per side.
+
+    ``k`` AUTO-SCALES with the materialized payload so one cell's merged
+    shard stays under ``cell_payload_budget`` heap bytes: each cell task
+    merge-copies ~payload/k per side into its worker heap, and with 32
+    concurrent cell tasks a fixed k=8 at 10M docs put ~3.7 GB anon heap
+    in EVERY worker and OOM-wedged a 125 GB box (kernel oom-kill,
+    measured).  Worker heap is a per-node constant while payload grows
+    with data — k must scale or the join has a ceiling.
     """
     mat = right_ds.materialize()
+    payload_bytes = mat.size_bytes() or 0
+    k_fit = int(np.ceil(payload_bytes / max(cell_payload_budget, 1)))
+    k = int(np.clip(max(k, k_fit), k, max_k))
     block_refs = list(mat.to_arrow_refs())
     builder = _grid_builder_fn(k, right_key)
     shard_refs = []
