@@ -45,7 +45,15 @@ def main(n: int = 5_000_000, seed: int = 42):
               file=sys.stderr)
 
     import ray
+    # big object store for the 10M-scale band-emission sort: default
+    # sizing (~29 GiB) forces tens of GB through Ray's disk spill, and
+    # Ray 2.49's raylet has a recursive SpillObjectsInternal ->
+    # PushSpillWorker path that STACK-OVERFLOWS under that pressure
+    # (captured in raylet.out at 10M docs).  A 64 GiB store keeps the
+    # sort resident; spill remains the overflow path, not the steady
+    # state.  Worker heaps get the rest of the 125 GiB box.
     ray.init(address="local", num_cpus=32, include_dashboard=False,
+             object_store_memory=64 * (1 << 30),
              logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
