@@ -121,13 +121,49 @@ def segment_boundaries(sorted_keys: np.ndarray) -> np.ndarray:
     return np.concatenate([[0], change, [n]]).astype(np.int64)
 
 
+def _all_pairs_segments(segments: np.ndarray) -> tuple:
+    """All within-segment (i < j) index pairs for EVERY segment at once —
+    one repeat/cumsum pass, no Python per-segment loop (VERDICT r3 #2:
+    this sits inside the hottest stage, BucketVerifier, where buckets
+    hold ~100k key-groups).  Pair order is j-major within a segment
+    ((0,1),(0,2),(1,2),(0,3)...), identical as a SET to the triu order.
+    Positional i < j is preserved (callers rely on i = the earlier,
+    size-sorted row)."""
+    lens = (segments[:, 1] - segments[:, 0]).astype(np.int64)
+    keep = lens >= 2
+    if not keep.any():
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    lens = lens[keep]
+    starts = segments[keep, 0].astype(np.int64)
+    # per-row bookkeeping over all rows of the kept segments
+    seg_start_per_row = np.repeat(starts, lens)
+    row_off = np.concatenate([[0], lens.cumsum()[:-1]])
+    local = np.arange(int(lens.sum()), dtype=np.int64) \
+        - np.repeat(row_off, lens)
+    row_global = seg_start_per_row + local
+    # each row j pairs with its `local` in-segment predecessors
+    reps = local
+    total = int(reps.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    j_idx = np.repeat(row_global, reps)
+    block_starts = np.concatenate([[0], reps.cumsum()[:-1]])
+    i_idx = (np.arange(total, dtype=np.int64)
+             - np.repeat(block_starts, reps)
+             + np.repeat(seg_start_per_row, reps))
+    return i_idx, j_idx
+
+
 def segment_pairs(segments: np.ndarray, cap: int,
                   strategy: str = "ring",
                   salt_ids: np.ndarray | None = None) -> tuple:
     """All within-segment index pairs (i < j) for a (k, 2) array of
-    [start, end) segments, vectorized per segment.  Hot groups (> ``cap``
-    members) never emit all g^2/2 pairs; the ``capped`` mask lets the
-    caller count drops — never silent.  Two skew strategies:
+    [start, end) segments.  The common g <= ``cap`` case is fully
+    vectorized across segments (``_all_pairs_segments``); hot groups
+    (> ``cap`` members) never emit all g^2/2 pairs; the ``capped`` mask
+    lets the caller count drops — never silent.  Two skew strategies:
 
     - ``ring``: sorted ring-linking with a window keeping ~cap^2
       comparisons per group regardless of g.
@@ -139,42 +175,41 @@ def segment_pairs(segments: np.ndarray, cap: int,
       ring at the cost of cap x more comparisons.  Deterministic: the
       subgroup of a row depends only on its id, never on block order.
     """
-    i_parts, j_parts = [], []
-    capped = np.zeros(len(segments), dtype=bool)
-    for s in range(len(segments)):
+    segments = np.asarray(segments, dtype=np.int64).reshape(-1, 2)
+    lens = segments[:, 1] - segments[:, 0]
+    capped = lens > cap
+    hot = np.flatnonzero(capped)
+    i_small, j_small = _all_pairs_segments(segments[~capped])
+    if len(hot) == 0:
+        return i_small, j_small, capped
+    i_parts, j_parts = [i_small], [j_small]
+    for s in hot:
         lo, hi = int(segments[s, 0]), int(segments[s, 1])
         g = hi - lo
-        if g < 2:
-            continue
-        if g <= cap:
-            i, j = np.triu_indices(g, k=1)
-        elif strategy == "salt" and salt_ids is not None:
-            capped[s] = True
+        if strategy == "salt" and salt_ids is not None:
             S = -(-g // cap)
             sub = bucket_of_ints(salt_ids[lo:hi], S)
             order = np.argsort(sub, kind="stable")
             sub_sorted = sub[order]
             bnd = segment_boundaries(sub_sorted)
-            ii, jj = [], []
-            for t in range(len(bnd) - 1):
+            # within-subgroup all-pairs, vectorized across subgroups
+            sub_seg = np.stack([bnd[:-1], bnd[1:]], axis=1)
+            pi, pj = _all_pairs_segments(sub_seg)
+            ii = [order[pi]]
+            jj = [order[pj]]
+            # cross-salt sample: element r of each subgroup with element r
+            # of the next one
+            for t in range(len(bnd) - 2):
                 a0, a1 = int(bnd[t]), int(bnd[t + 1])
-                m = a1 - a0
-                if m >= 2:
-                    ti, tj = np.triu_indices(m, k=1)
-                    ii.append(order[a0 + ti])
-                    jj.append(order[a0 + tj])
-                # cross-salt sample: element r of this subgroup with
-                # element r of the next one
-                if t + 1 < len(bnd) - 1:
-                    b0, b1 = int(bnd[t + 1]), int(bnd[t + 2])
-                    r = min(a1 - a0, b1 - b0)
-                    if r:
-                        ii.append(order[a0:a0 + r])
-                        jj.append(order[b0:b0 + r])
-            if not ii:
-                continue
+                b0, b1 = int(bnd[t + 1]), int(bnd[t + 2])
+                r = min(a1 - a0, b1 - b0)
+                if r:
+                    ii.append(order[a0:a0 + r])
+                    jj.append(order[b0:b0 + r])
             i = np.concatenate(ii)
             j = np.concatenate(jj)
+            if len(i) == 0:
+                continue
             # keep positional order (anchor channel relies on i = the
             # size-sorted smaller side)
             swap = i > j
@@ -182,7 +217,6 @@ def segment_pairs(segments: np.ndarray, cap: int,
             j = np.where(swap, i, j)
             i = i2
         else:
-            capped[s] = True
             w = max(1, (cap * cap) // g)
             i = np.concatenate([np.arange(0, g - off)
                                 for off in range(1, w + 1)])
@@ -190,7 +224,4 @@ def segment_pairs(segments: np.ndarray, cap: int,
                                 for off in range(1, w + 1)])
         i_parts.append(i + lo)
         j_parts.append(j + lo)
-    if not i_parts:
-        e = np.empty(0, dtype=np.int64)
-        return e, e, capped
     return (np.concatenate(i_parts), np.concatenate(j_parts), capped)
