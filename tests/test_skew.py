@@ -116,3 +116,46 @@ def test_salting_beats_ring_on_hot_group_pair_recall(ray_session):
     assert out["ring"]["n_clusters"] == out["salt"]["n_clusters"]
     assert out["salt"]["recall"] >= 2 * out["ring"]["recall"], out
     assert out["salt"]["recall"] >= 0.3, out
+
+
+def test_trigram_stop_gram_bounds_pair_emission(caplog):
+    """VERDICT r3 #1: a boilerplate trigram planted in many docs must NOT
+    emit g^2/2 pairs.  Unit level: the bucket kernel drops grams with
+    df > hot_gram_cap from intersection counts and logs the drop."""
+    import logging
+    from vidupe_ray.pipelines.textops import _gram_pairs_bucket
+    g = 500
+    # every doc shares gram 7 (the boilerplate), plus two unique grams
+    df = pd.DataFrame({
+        "doc_id": np.repeat(np.arange(g, dtype=np.int64), 3),
+        "gram": np.concatenate(
+            [[7, 1000 + 2 * d, 1001 + 2 * d] for d in range(g)]
+        ).astype(np.int64)})
+    with caplog.at_level(logging.WARNING, logger="vidupe_ray.textops"):
+        out = _gram_pairs_bucket(df, hot_gram_cap=100)
+    assert len(out) == 0                       # no pair from the stop gram
+    assert any("stop gram" in r.message for r in caplog.records)
+    # below the cap the same gram emits the full g^2/2 pair set
+    out2 = _gram_pairs_bucket(df, hot_gram_cap=g)
+    assert len(out2) == g * (g - 1) // 2
+
+
+def test_trigram_jaccard_hot_gram_end_to_end(ray_session, tmp_path):
+    """10k docs sharing one boilerplate trigram: the inverted-index join
+    completes with bounded emission (the uncapped plan would build ~50M
+    pair rows from the single hot gram)."""
+    import pyarrow.parquet as pq
+    from vidupe_ray.pipelines.textops import trigram_jaccard_pairs
+    n = 10_000
+    texts = [f"all rights reserved u{i} v{i} w{i}" for i in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = trigram_jaccard_pairs(str(tmp_path)).to_pandas()
+    # docs share ONLY the stop gram -> no surviving pair reaches the
+    # 20% Jaccard threshold (and none is even counted)
+    assert len(out) == 0

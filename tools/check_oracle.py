@@ -2,7 +2,8 @@
 entry and its oracle_sql() on the same sf dir, compare row count, schema,
 and order-insensitive value hash.
 
-Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir]
+Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir] [q1,q2,...]
+(optional second arg: comma-separated query names to check, default all)
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: set | None = None):
     import ray
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR")
@@ -65,6 +66,8 @@ def main(sf_dir: str):
     sqls = E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as e:
@@ -133,4 +136,5 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+         set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None)
