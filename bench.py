@@ -115,7 +115,6 @@ def run_bench() -> dict:
     timed("doc_stats", textops.doc_stats)
     timed("exact_dedup", textops.exact_dedup_docs)
     timed("token_stats", textops.token_stats_by_lang)
-    timed("bpe_token_stats", textops.bpe_token_stats)
     timed("top_tokens", textops.top_tokens)
     timed("length_quantiles", textops.length_quantiles)
     timed("doc_embedding_join", ann.doc_embedding_join)

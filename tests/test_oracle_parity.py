@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
-SUBSET = ["doc_stats", "exact_dedup", "token_stats", "bpe_token_stats",
+SUBSET = ["doc_stats", "exact_dedup", "token_stats", "doc_fingerprints",
           "quality", "heavy_hitters", "tumbling_window", "hopping_window",
           "top_per_lang", "sample_per_lang", "asof_join", "interval_join",
           "revenue_by_nation", "top_orders", "daily_active_users",
@@ -92,7 +92,8 @@ def test_bpe_token_stats_diverges_from_whitespace(harness, tmp_path):
     and whitespace token counts coincide.  Make the BPE regex non-vacuous
     here: punctuation, digit runs, and glued alnum must SPLIT (so the
     count exceeds the whitespace count) and still match DuckDB's RE2
-    evaluation of the same pattern exactly."""
+    evaluation of the same pattern exactly.  (BPE counts ride the merged
+    token_stats query since round 4.)"""
     E, _ = harness
     texts = [
         "Hello, world! It's 2026-08-17 — v2.49.2 of ray[data].",
@@ -111,12 +112,12 @@ def test_bpe_token_stats_diverges_from_whitespace(harness, tmp_path):
     sf = str(tmp_path)
     df.to_parquet(f"{sf}/documents.parquet", index=False)
 
-    got = E.queries()["bpe_token_stats"](sf)
+    got = E.queries()["token_stats"](sf)
     got = got.to_pandas() if hasattr(got, "to_pandas") else got
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf}/documents.parquet')")
-    want = con.sql(E.oracle_sql()["bpe_token_stats"]).fetchdf()
+    want = con.sql(E.oracle_sql()["token_stats"]).fetchdf()
     g = got.sort_values("lang").reset_index(drop=True)
     w = want.sort_values("lang").reset_index(drop=True)
     np.testing.assert_array_equal(g["sum_bpe_tokens"].to_numpy(),
@@ -229,3 +230,46 @@ def test_length_quantiles_small_groups(harness, tmp_path):
     for c in ["n_docs", "p50_chars", "p90_chars", "p99_chars"]:
         np.testing.assert_array_equal(g[c].to_numpy(np.int64),
                                       w[c].to_numpy(np.int64), err_msg=c)
+
+
+def test_signatures_and_fingerprints_oracle_edges(harness, tmp_path):
+    """VERDICT r3 #7 queries on crafted edges the driver corpus lacks:
+    empty / whitespace-only docs (rejected from signatures), docs below
+    the shingle window (single truncated winnowing window, low_content),
+    and exact duplicates (signatures exist for the min-doc_id winner
+    only)."""
+    E, _ = harness
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",   # 20 tokens
+        "one two three four five six seven",                  # 7 = k
+        "short doc",                                          # < k tokens
+        "",                                                   # empty
+        "   \t  ",                                            # ws-only
+        None,
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",   # dup of 0
+    ]
+    sf, con = _crafted_sf(tmp_path, texts,
+                          ["en"] * len(texts))
+    for name in ("signatures", "doc_fingerprints"):
+        got = E.queries()[name](sf)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.sql(E.oracle_sql()[name]).fetchdf()
+        g = got[sorted(got.columns)].sort_values(
+            sorted(got.columns)).reset_index(drop=True)
+        w = want[sorted(want.columns)].sort_values(
+            sorted(want.columns)).reset_index(drop=True)
+        assert len(g) == len(w), name
+        for c in g.columns:
+            np.testing.assert_array_equal(
+                pd.to_numeric(g[c], errors="ignore"),
+                pd.to_numeric(w[c], errors="ignore"), err_msg=f"{name}.{c}")
+    # semantic spot checks
+    sig = E.queries()["signatures"](sf).to_pandas()
+    assert 6 not in set(sig["doc_id"])          # dup loser: no signature
+    assert set(sig.loc[sig["low_content"], "doc_id"]) >= {1, 2}
+    fp = E.queries()["doc_fingerprints"](sf).to_pandas().set_index("doc_id")
+    assert fp.loc[2, "n_fingerprints"] == 0     # < k tokens: no shingle
+    assert fp.loc[1, "n_fingerprints"] == 1     # exactly one shingle
+    assert fp.loc[0, "n_fingerprints"] >= 1
