@@ -656,18 +656,26 @@ def oracle_sql() -> dict[str, str]:
         FROM g x JOIN g y ON x.h = y.h AND x.doc_id < y.doc_id"""
 
     # clusters of the exact-config flagship == exact content groups:
-    # winner/cluster id = min doc_id, canonical = max raw bytes tie min id
+    # winner/cluster id = min doc_id; canonical mirrors the reference's
+    # multi-attribute ranking (comparison.cpp:266-330): sizes within the
+    # ±100 kB tolerance count as equal, then earliest (pseudo-)mtime,
+    # then min doc_id.  mtime = the adapter's 32-bit multiplicative hash
+    # of doc_id (documents carry no timestamp).
+    _tol = _CFG.canonical_size_tolerance
     dedup_clusters_exact = f"""
         WITH g AS (SELECT doc_id, md5(text) AS h,
-                          octet_length(encode(text)) AS n_bytes
+                          octet_length(encode(text)) AS n_bytes,
+                          (CAST(doc_id AS HUGEINT) * 2654435761)
+                              % 4294967296 AS mtime
                    FROM documents WHERE {_TRIM} != ''),
         c AS (SELECT h, min(doc_id) AS cluster_id,
-                     count(*) AS cluster_size
+                     count(*) AS cluster_size, max(n_bytes) AS mx
               FROM g GROUP BY h),
         r AS (SELECT g.doc_id, c.cluster_id, c.cluster_size,
                      row_number() OVER (
                          PARTITION BY g.h
-                         ORDER BY g.n_bytes DESC, g.doc_id) AS rn
+                         ORDER BY (g.n_bytes < c.mx - {_tol}),
+                                  g.mtime, g.doc_id) AS rn
               FROM g JOIN c ON g.h = c.h)
         SELECT doc_id, cluster_id, cluster_size,
                (rn = 1) AS is_canonical

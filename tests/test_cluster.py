@@ -105,3 +105,38 @@ def test_non_convergence_falls_back_to_exact(ray_session):
     pd.testing.assert_frame_equal(got, want)
     # every chain must map to its minimum id
     assert set(got["cluster_id"]) == {c * 1000 for c in range(40)}
+
+
+def test_canonical_pick_multi_attribute(ray_session):
+    """VERDICT r3 #5: the canonical pick mirrors the reference's
+    highlightBetterProperties ranking (comparison.cpp:266-330) — size
+    decides only beyond the ±tolerance (comparison.cpp:270); within
+    tolerance, earliest mtime wins; mtime ties break on min doc_id."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from vidupe_ray.config import PipelineConfig
+    from vidupe_ray.pipelines.dedup import assign_clusters
+
+    cfg = PipelineConfig(canonical_size_tolerance=100)
+    # cluster 1: sizes within tolerance (1000 vs 950) -> mtime decides
+    #            (doc 11, later-size-smaller but earliest mtime)
+    # cluster 2: size gap beyond tolerance -> largest wins despite mtime
+    # cluster 3: mtime tie within tolerance -> min doc_id
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 20, 21, 30, 31], pa.int64()),
+        "n_bytes": pa.array([1000, 950, 1000, 500, 800, 800], pa.int64()),
+        "mtime": pa.array([5, 1, 1, 0, 7, 7], pa.int64()),
+        "status": pa.array(["ok"] * 6, pa.string()),
+    })
+    parents = pa.table({
+        "doc_id": pa.array([10, 11, 20, 21, 30, 31], pa.int64()),
+        "cluster_id": pa.array([10, 10, 20, 20, 30, 30], pa.int64()),
+    })
+    out = assign_clusters(rd.from_arrow(docs), rd.from_arrow(parents),
+                          cfg).to_pandas()
+    canon = out[out["is_canonical"]].set_index("cluster_id")["doc_id"]
+    assert canon.loc[10] == 11     # within tol, earliest mtime
+    assert canon.loc[20] == 20     # beyond tol, size wins
+    assert canon.loc[30] == 30     # mtime tie, min doc_id
+    assert (out.groupby("cluster_id")["is_canonical"].sum() == 1).all()

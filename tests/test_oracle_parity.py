@@ -85,6 +85,21 @@ def test_dedup_pairs_exact_with_planted_dups(harness, tmp_path):
     ws = set(zip(want["a"].astype(int), want["b"].astype(int)))
     assert ws == {(0, 40), (0, 41), (40, 41), (1, 42)}
     assert gs == ws
+    # the cluster variant on the same planted dups: the multi-attribute
+    # canonical ranking (tolerance -> pseudo-mtime -> doc_id) must match
+    # DuckDB row-for-row, including is_canonical inside dup groups
+    gc = E.queries()["dedup_clusters_exact"](sf)
+    gc = gc.to_pandas() if hasattr(gc, "to_pandas") else gc
+    wc = con.sql(E.oracle_sql()["dedup_clusters_exact"]).fetchdf()
+    g2 = gc.sort_values("doc_id").reset_index(drop=True)
+    w2 = wc.sort_values("doc_id").reset_index(drop=True)
+    for c in ["doc_id", "cluster_id", "cluster_size"]:
+        np.testing.assert_array_equal(g2[c].astype(int), w2[c].astype(int))
+    np.testing.assert_array_equal(g2["is_canonical"].astype(bool),
+                                  w2["is_canonical"].astype(bool))
+    # non-vacuous: dup groups exist and exactly one canonical per cluster
+    assert (g2.groupby("cluster_id")["is_canonical"].sum() == 1).all()
+    assert (g2["cluster_size"] > 1).any()
 
 
 def test_bpe_token_stats_diverges_from_whitespace(harness, tmp_path):

@@ -75,6 +75,15 @@ class PipelineConfig:
     ssim_gate_floor: int = 44     # jaccard mode gate = max(threshold_bits, 44)
                                   # (comparison.cpp:142)
 
+    # --- canonical pick ---------------------------------------------------
+    canonical_size_tolerance: int = 100_000  # bytes within which two sizes
+                                  # count as "the same" when ranking the
+                                  # kept copy — the reference's ±100 kB
+                                  # tolerance (comparison.cpp:270); within
+                                  # tolerance of the cluster max, the
+                                  # earliest mtime (then min doc_id) wins
+                                  # (comparison.cpp:266-330 ranking order)
+
     # --- containment / substring pass (north-rule addition) --------------
     containment: bool = True
     containment_est_floor: float = 0.5   # soft pre-filter on the MinHash

@@ -354,26 +354,38 @@ def assign_clusters(docs_ds, parents_ds, cfg: PipelineConfig):
     Parent map joins by the cap-gated ``lookup_join`` (it only contains
     docs that have duplicates — broadcast below ``broadcast_cap``, one
     bucketed enrich shuffle above); singletons map to themselves.
-    Canonical pick mirrors ``highlightBetterProperties`` size ranking
-    (``comparison.cpp:266-330``): keep the largest file, tie-break on min
-    doc_id — a pure min/max reduction, deterministic under any execution
-    order.
+    Canonical pick mirrors the FULL ``highlightBetterProperties`` ranking
+    (``comparison.cpp:266-330``): size decides only beyond the ±100 kB
+    tolerance (``comparison.cpp:270``, ``cfg.canonical_size_tolerance``);
+    among members within tolerance of the cluster max, the earliest
+    mtime wins (``comparison.cpp:310-318`` date ranking), then min
+    doc_id — a pure reduction, deterministic under any execution order.
     """
     ok = docs_ds.filter(expr="status == 'ok'")
-    slim = ok.select_columns(["doc_id", "n_bytes"])
+    cols = ["doc_id", "n_bytes"]
+    schema_names = docs_ds.schema().names or []
+    if "mtime" in schema_names:
+        cols.append("mtime")
+    slim = ok.select_columns(cols)
     assigned = lookup_join(slim, "doc_id", parents_ds, "doc_id",
                            "cluster_id", "cluster_id", cfg)
+    tol = cfg.canonical_size_tolerance
 
     def _canonical_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        """Whole bucket of clusters at once: canonical = max n_bytes, tie
-        min doc_id — vectorized sort + first-of-group."""
-        df = df.sort_values(["cluster_id", "n_bytes", "doc_id"],
-                            ascending=[True, False, True], kind="stable")
+        """Whole bucket of clusters at once, vectorized sort +
+        first-of-group: eligible = within ``tol`` bytes of the cluster's
+        max size; canonical = min (mtime, doc_id) among eligible."""
         df = df.copy()
+        if "mtime" not in df.columns:
+            df["mtime"] = np.int64(0)
+        mx = df.groupby("cluster_id")["n_bytes"].transform("max")
+        df["__inelig"] = (df["n_bytes"] < mx - tol)
+        df = df.sort_values(["cluster_id", "__inelig", "mtime", "doc_id"],
+                            ascending=True, kind="stable")
         df["cluster_size"] = df.groupby("cluster_id")["doc_id"] \
                                .transform("size").astype("int64")
         df["is_canonical"] = ~df.duplicated("cluster_id")
-        return df
+        return df.drop(columns="__inelig")
 
     from ..state import bucketing as B
     return B.grouped_map(assigned, "cluster_id", B.bucket_of_ints,

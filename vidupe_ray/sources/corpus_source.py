@@ -30,6 +30,14 @@ def read_corpus(paths, lang_allowlist: tuple = (),
     if num_blocks:
         kw["override_num_blocks"] = num_blocks
     cols = columns or CORPUS_COLUMNS
+    if columns is None:
+        # optional mtime column (multi-attribute canonical pick): read it
+        # when the source table carries one; absent -> normalize fills 0
+        try:
+            if "mtime" in pads.dataset(paths).schema.names:
+                cols = cols + ["mtime"]
+        except Exception:
+            pass
     # pandas-written parquet attaches schema metadata (b'pandas': {...});
     # a pa.Schema WITH metadata is unhashable (hash() hits the dict), so
     # every downstream block concat logs "Failed to hash the schemas" and
@@ -62,9 +70,18 @@ def documents_as_corpus(sf_dir: str, lang_allowlist: tuple = ()):
                          columns=["doc_id", "text", "lang", "source"], **kw)
 
     def _adapt(batch: pa.Table) -> pa.Table:
+        import numpy as np
         n = batch.num_rows
         src = batch.column("source").to_pylist()
         ids = batch.column("doc_id").to_pylist()
+        # deterministic pseudo-mtime (the documents table carries no
+        # timestamp): one round of 32-bit multiplicative hashing of
+        # doc_id, exactly replicable in SQL via HUGEINT arithmetic —
+        # feeds the multi-attribute canonical pick (mtime asc)
+        idv = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        mtime = ((idv * np.uint64(2654435761))
+                 & np.uint64(0xFFFFFFFF)).astype(np.int64)
         return pa.table({
             "repo": pa.array(src, pa.string()),
             "path": pa.array([f"{s}/doc{d}.txt" for s, d in zip(src, ids)],
@@ -73,6 +90,7 @@ def documents_as_corpus(sf_dir: str, lang_allowlist: tuple = ()):
             "lang": batch.column("lang"),
             "content": batch.column("text"),
             "doc_id": batch.column("doc_id"),
+            "mtime": pa.array(mtime, pa.int64()),
         })
 
     return ds.map_batches(_adapt, batch_format="pyarrow")

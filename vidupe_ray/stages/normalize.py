@@ -8,8 +8,8 @@ consumes.  Rows are never dropped here — invalid rows are *tagged*
 ``_rejectedVideos`` (``mainwindow.cpp:307-315``).
 
 Input  schema: repo, path, commit, lang, content [, doc_id]
-Output schema: repo, path, commit, lang, doc_id, sha256, sha256_canon,
-               n_bytes, n_lines, status [, content_canon]
+Output schema: repo, path, commit, lang, doc_id, mtime, sha256,
+               sha256_canon, n_bytes, n_lines, status [, content_canon]
 
 ``sha256`` (of the RAW content) is the per-row invariant required by
 ``BASELINE.json::input_hint``; ``sha256_canon`` (of the canonical form) is
@@ -117,6 +117,11 @@ def normalize_batch(batch: pa.Table, cfg: PipelineConfig | None = None,
         "lang": batch.column("lang") if "lang" in batch.column_names
                 else pa.array([""] * n, pa.string()),
         "doc_id": pa.array(doc_ids, pa.int64()),
+        # mtime feeds the canonical pick (comparison.cpp:266-330 ranking);
+        # sources without one get 0 (rank falls through to doc_id)
+        "mtime": (batch.column("mtime")
+                  if "mtime" in batch.column_names
+                  else pa.array(np.zeros(n, np.int64), pa.int64())),
         "sha256": pa.array(sha_raw, pa.string()),
         "sha256_canon": pa.array(sha_canon, pa.string()),
         "n_bytes": pa.array(np.asarray(n_bytes, np.int64), pa.int64()),

@@ -223,7 +223,8 @@ def corpus_cache_key(corpus_ds, cfg) -> str | None:
     except OSError:
         return None
     h.update(repr(tuple(cfg.lang_allowlist)).encode())
-    return h.hexdigest()[:16]
+    h.update(b"schema-v2")   # docs_meta gained mtime in round 4; older
+    return h.hexdigest()[:16]  # cached metadata must not resurface
 
 
 def _meta_dir(checkpoint_dir: str, key: str, what: str) -> str:
