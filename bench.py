@@ -59,6 +59,8 @@ def corpus_dir() -> tuple:
 
 
 def run_bench() -> dict:
+    from vidupe_ray.util import silence_benign_schema_warnings
+    silence_benign_schema_warnings()
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,

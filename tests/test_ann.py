@@ -170,3 +170,30 @@ def test_embedding_clusters_transitive_merge(ray_session):
     # the unrelated block stays singleton-self (cos between random
     # 64-dim gaussians is ~0 +- 0.12, far below any matching threshold)
     assert all(lab[i] == i for i in range(150, 200))
+
+
+def test_embedding_neardup_gates_internally(ray_session, monkeypatch):
+    """VERDICT r3 #6: a direct call above the broadcast cap must DELEGATE
+    to the LSH path instead of materializing the table on the driver."""
+    from vidupe_ray.pipelines import ann
+
+    called = {}
+
+    def _fake_lsh(sf_dir, threshold=0.45, **kw):
+        called["lsh"] = (sf_dir, threshold)
+        import pyarrow as pa
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cos_x1000": pa.array([], pa.int64())})
+
+    monkeypatch.setattr(ann, "lsh_neardup_pairs", _fake_lsh)
+    out = ann.embedding_neardup_pairs("/root/testdata/sf0.001",
+                                      broadcast_cap=10)
+    assert called["lsh"][0] == "/root/testdata/sf0.001"
+    assert out.num_rows == 0
+    # under the cap the broadcast plan runs (and the LSH stub is NOT hit)
+    called.clear()
+    res = ann.embedding_neardup_pairs("/root/testdata/sf0.001",
+                                      broadcast_cap=10_000_000)
+    assert "lsh" not in called
+    assert res.count() >= 0

@@ -47,6 +47,8 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main(sf_dir: str, only: set | None = None):
+    from vidupe_ray.util import silence_benign_schema_warnings
+    silence_benign_schema_warnings()
     import ray
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR")

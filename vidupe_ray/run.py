@@ -103,6 +103,8 @@ def main(argv=None):
                         "pipeline and include it in the summary")
     args = p.parse_args(argv)
 
+    from vidupe_ray.util import silence_benign_schema_warnings
+    silence_benign_schema_warnings()
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,

@@ -102,6 +102,13 @@ def grouped_map(ds, key_col: str, bucket_fn, apply_fn,
         # concat.  The conversion happens downstream anyway — doing it
         # here is the same work minus the metadata.
         if isinstance(out, pd.DataFrame):
+            if not len(out):
+                # EMPTY object-dtype columns convert to null-typed Arrow
+                # columns, relying on downstream null->string promotion
+                # at block union — coerce to string so empty and
+                # non-empty buckets emit identical schemas (ADVICE r3 #5)
+                out = out.astype({c: "string" for c in out.columns
+                                  if out[c].dtype == object})
             out = pa.Table.from_pandas(out, preserve_index=False)
         if isinstance(out, pa.Table) and out.schema.metadata:
             out = out.replace_schema_metadata(None)

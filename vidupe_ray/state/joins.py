@@ -378,8 +378,22 @@ def grid_pair_apply(pairs_ds, right_ds, apply_fn, k: int = 8,
     """
     mat = right_ds.materialize()
     payload_bytes = mat.size_bytes() or 0
-    k_fit = int(np.ceil(payload_bytes / max(cell_payload_budget, 1)))
+    # each cell merges BOTH sides, so size the fit against half the
+    # budget (~2x cell_payload_budget actual heap otherwise; ADVICE r3)
+    k_fit = int(np.ceil(2 * payload_bytes / max(cell_payload_budget, 1)))
     k = int(np.clip(max(k, k_fit), k, max_k))
+    if k_fit > max_k:
+        # the budget stops holding once payload > max_k * budget / 2:
+        # per-cell heap grows with data again beyond this point (the
+        # residual ceiling) — surface it, never silent (ADVICE r3 #2)
+        import logging
+        logging.getLogger("vidupe_ray.joins").warning(
+            "grid_pair_apply: payload %.1f GiB needs k=%d to hold the "
+            "%.0f MiB two-sided cell budget, but max_k=%d caps it — "
+            "per-cell heap ~%.0f MiB; raise max_k or the budget",
+            payload_bytes / (1 << 30), k_fit,
+            cell_payload_budget / (1 << 20), max_k,
+            2 * payload_bytes / max_k / (1 << 20))
     block_refs = list(mat.to_arrow_refs())
     builder = _grid_builder_fn(k, right_key)
     shard_refs = []
