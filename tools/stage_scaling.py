@@ -83,10 +83,12 @@ winners, stats = ed.winner_filter(corpus, membership, cfg,
 sigs = tick("fingerprint",
             lambda: fingerprint_dataset(winners, cfg).materialize())
 cand = tick("candidates",
-            lambda: lsh.candidate_pairs(sigs, cfg).materialize())
+            lambda: lsh.candidate_pairs(sigs, cfg,
+                                        dedupe=False).materialize())
 n_cand = cand.count()
 ver = tick("verify", lambda: lsh.verify_candidates(
-    cand, sigs, cfg, n_pairs=n_cand).materialize())
+    cand, sigs, cfg, n_pairs=n_cand,
+    dedupe_in_cell=True).materialize())
 ccand = ver.filter(expr="kind == 'contain_cand'")
 contain = tick("containment", lambda: vc.confirm_containment(
     ccand, winners, cfg).materialize())

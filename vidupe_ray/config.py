@@ -136,6 +136,14 @@ class PipelineConfig:
                                   # @ 8 cpus, 4.0 vs 6.7 s @ 32: parallel
                                   # shard builders beat the single-task probe
                                   # build); tiny runs keep the broadcast plan
+    assign_split_threshold: int = 1_000_000  # doc count above which the
+                                  # cluster-assignment canonical pick
+                                  # splits singletons (map-only emit)
+                                  # from dup-cluster members (bucketed
+                                  # shuffle of ~n_dup rows only); below
+                                  # it one full-corpus shuffle is cheaper
+                                  # than the split's extra task waves
+                                  # (A/B at 500k/32: 1.1-1.5 s vs 1.6 s)
     cc_small_graph_threshold: int = 200_000  # edge count below which the
                                   # duplicate graph is solved driver-side
                                   # (vectorized union-find); above it the
@@ -160,6 +168,23 @@ class PipelineConfig:
                                       # tiny blocks make every sort-shuffle a
                                       # scheduling storm (measured 5.6s -> 0.85s
                                       # for the exact-dedup groupby at 50k rows)
+    fused_fingerprint: bool | None = None  # ONE read->normalize->fingerprint
+                                  # pass over the source: signatures are
+                                  # computed for ALL docs and exact-dup
+                                  # losers/rejects dropped afterwards, so
+                                  # raw content NEVER enters the object
+                                  # store (the pin and its 2nd content
+                                  # scan disappear; containment re-reads
+                                  # the source for its candidate subset).
+                                  # Trades dup_rate x fingerprint compute
+                                  # for one full content pass + the pin
+                                  # memory.  None (default) = auto: fuse
+                                  # when no checkpoint_dir is in play
+                                  # (per-doc signature resume needs the
+                                  # winners-first plan).  False on
+                                  # exact-dup-heavy corpora where
+                                  # fingerprinting losers costs more
+                                  # than the saved scan.
     fingerprint_mode: str = "tasks"  # "tasks" (per-process cached state) |
                                      # "actors" (dedicated pool; for heavy state)
     fingerprint_concurrency: int | tuple = 4   # actor pool size for mode="actors"

@@ -158,7 +158,46 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
             membership = cached_mem.materialize()
             metrics["meta_resumed"] = True
 
-    if docs is None and pin:
+    fuse_fp = cfg.fused_fingerprint
+    if fuse_fp is None:
+        # auto: the per-document signature checkpoint/resume contract
+        # needs the winners-first plan; everything else fuses
+        fuse_fp = checkpoint_dir is None
+    sig_wide = None
+    _SIG_EXTRA = ["n_tokens", "n_shingles", "simhash", "simhash_head",
+                  "simhash_tail", "minhash", "anchors", "low_content"]
+
+    if docs is None and fuse_fp:
+        # FUSED normalize+fingerprint (round-4 floor work): ONE
+        # read->stamp->normalize->fingerprint pass over the source.
+        # Signatures are computed for ALL docs (exact-dup losers/rejects
+        # dropped afterwards by the same removal filter the winner
+        # anti-join uses), so raw content NEVER enters the object store:
+        # the 3 GB content pin and its second scan by the fingerprint
+        # stage both disappear — only the ~0.5 GB meta+signature table
+        # materializes.  Containment re-reads the source for its
+        # candidate subset (overlapped with CC).  Trade-off: dup_rate x
+        # fingerprint compute is wasted on losers (cfg.fused_fingerprint
+        # docstring; at the bench corpus's <1% exact-dup rate the saved
+        # content pass wins outright).
+        from ..stages.fingerprint import _cached_fingerprinter
+
+        def _fused_fp(batch: pa.Table) -> pa.Table:
+            batch = _stamp_ids(batch)
+            meta = normalize_batch(batch)
+            sigs = _cached_fingerprinter(cfg)(batch)
+            for c in _SIG_EXTRA:
+                meta = meta.append_column(c, sigs.column(c))
+            return meta
+
+        sig_wide = corpus_ds.map_batches(
+            _fused_fp, batch_format="pyarrow",
+            batch_size=cfg.batch_size).materialize()
+        docs = sig_wide.drop_columns(_SIG_EXTRA)
+        membership = ed.exact_dedup(docs, cfg).materialize()
+        metrics["meta_resumed"] = False
+        metrics["fused_fingerprint"] = True
+    elif docs is None and pin:
         # FUSED pin+normalize (round-3 scaling work): when the corpus is
         # being pinned anyway, ONE read->stamp->normalize pass materializes
         # blocks carrying content + metadata together — the separate pin
@@ -200,15 +239,26 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
 
     shuffle_bytes = {"exact_dedup_membership": membership.size_bytes()}
     reject_ids = rejects.select_columns(["doc_id"])
-    winners, wf_stats = ed.winner_filter(corpus, membership, cfg,
-                                         rejects_ids_ds=reject_ids)
+    removal, wf_stats = ed.removal_refs(membership, cfg,
+                                        rejects_ids_ds=reject_ids)
+    # winners (raw content) is consumed ONLY by the containment confirm
+    # in the fused-fingerprint plan — it stays a lazy source-read chain
+    winners = ed.apply_winner_filter(corpus, removal)
     exact_edge_ds = ed.exact_edges(membership)
     metrics.update(wf_stats)
     metrics["t_normalize_dedup"] = time.perf_counter() - t0
 
     # --- fingerprint (+ per-document incremental checkpoint/resume) ------
     t1 = time.perf_counter()
-    if checkpoint_dir:
+    if sig_wide is not None:
+        # fused plan: signatures already computed in the single source
+        # pass — drop meta columns and anti-filter losers/rejects with
+        # the SAME removal refs the winner filter uses
+        sig_view = sig_wide.select_columns(
+            ["doc_id", "lang", "n_bytes"] + _SIG_EXTRA)
+        signatures = ed.apply_winner_filter(sig_view,
+                                            removal).materialize()
+    elif checkpoint_dir:
         from ..state.checkpoint import resume_signatures
         signatures, n_cached, n_delta = resume_signatures(
             winners, checkpoint_dir, cfg,
@@ -229,18 +279,26 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
 
     # --- candidates + two-phase verification -----------------------------
     t2 = time.perf_counter()
-    cand_pairs = lsh.candidate_pairs(signatures, cfg).materialize()
+    # RAW (pre-dedupe) pairs: the grid verify plan dedupes (a, b) inside
+    # its cells — a pair's rows always share a cell — so the standalone
+    # dedupe exchange + barrier is skipped on the scale path (round-4
+    # floor work); the broadcast plan (tiny runs) still dedupes up front
+    # inside verify_candidates.  n_candidates therefore counts RAW
+    # emissions since round 4 (band/anchor multiplicity included).
+    cand_pairs = lsh.candidate_pairs(signatures, cfg,
+                                     dedupe=False).materialize()
     metrics["n_candidates"] = cand_pairs.count()
     # band/anchor emission is the one big streamed shuffle; its volume is
     # rows x slim-row width (5 fixed cols + key + channel ~ 51 B) — an
     # analytic figure because the emitted stream is never materialized
     shuffle_bytes["lsh_emit_est"] = (
         metrics["n_winners"] * (cfg.bands + cfg.anchor_k) * 51)
-    shuffle_bytes["pair_dedupe"] = cand_pairs.size_bytes()
+    shuffle_bytes["pair_stream"] = cand_pairs.size_bytes()
     verified = lsh.verify_candidates(
         cand_pairs, signatures, cfg,
         n_pairs=metrics["n_candidates"],
-        n_sig_rows=metrics["n_winners"]).materialize()
+        n_sig_rows=metrics["n_winners"],
+        dedupe_in_cell=True).materialize()
     near = verified.filter(expr="kind == 'near'")
     cand = verified.filter(expr="kind == 'contain_cand'")
     if cfg.containment:
@@ -361,14 +419,31 @@ def assign_clusters(docs_ds, parents_ds, cfg: PipelineConfig):
     mtime wins (``comparison.cpp:310-318`` date ranking), then min
     doc_id — a pure reduction, deterministic under any execution order.
     """
+    from ..state import bucketing as B
+    from ..state.joins import filter_by_key_shards, sharded_key_refs
+
     ok = docs_ds.filter(expr="status == 'ok'")
     cols = ["doc_id", "n_bytes"]
     schema_names = docs_ds.schema().names or []
-    if "mtime" in schema_names:
+    has_mtime = "mtime" in schema_names
+    if has_mtime:
         cols.append("mtime")
     slim = ok.select_columns(cols)
-    assigned = lookup_join(slim, "doc_id", parents_ds, "doc_id",
-                           "cluster_id", "cluster_id", cfg)
+    tol = cfg.canonical_size_tolerance
+
+    # ---- dup/singleton split (round-4 floor work) -----------------------
+    # The canonical pick is a per-CLUSTER reduction, but singletons (the
+    # overwhelming majority of a deduped corpus) are trivially canonical —
+    # only docs touched by the parent map need the cluster_id shuffle.
+    # Dup-involved ids = parents' members ∪ their roots (the map carries
+    # only non-root members, stages/cluster.py contract); that set is
+    # O(duplicates), so the bucketed canonical shuffle carries
+    # ~n_dup_docs rows instead of the whole corpus.  THRESHOLD-GATED:
+    # below ``assign_split_threshold`` docs the single full shuffle is
+    # cheaper than the split's extra task waves (A/B at 500k/32:
+    # 1.1-1.5 s single vs 1.6 s split); above it the corpus-sized
+    # exchange dominates and the split wins.  Both paths emit identical
+    # rows (the split is a partition of the same reduction).
     tol = cfg.canonical_size_tolerance
 
     def _canonical_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -385,12 +460,59 @@ def assign_clusters(docs_ds, parents_ds, cfg: PipelineConfig):
         df["cluster_size"] = df.groupby("cluster_id")["doc_id"] \
                                .transform("size").astype("int64")
         df["is_canonical"] = ~df.duplicated("cluster_id")
-        return df.drop(columns="__inelig")
+        out = df.drop(columns="__inelig")
+        cols_out = ["doc_id", "n_bytes", "mtime", "cluster_id",
+                    "cluster_size", "is_canonical"]
+        return out[[c for c in cols_out if c in out.columns]]
 
-    from ..state import bucketing as B
-    return B.grouped_map(assigned, "cluster_id", B.bucket_of_ints,
-                         _canonical_bucket, num_buckets=cfg.join_buckets,
-                         batch_format="pandas")
+    try:
+        n_docs = docs_ds.count()
+    except Exception:
+        n_docs = None
+    if n_docs is not None and n_docs <= cfg.assign_split_threshold:
+        assigned = lookup_join(slim, "doc_id", parents_ds, "doc_id",
+                               "cluster_id", "cluster_id", cfg)
+        return B.grouped_map(assigned, "cluster_id", B.bucket_of_ints,
+                             _canonical_bucket,
+                             num_buckets=cfg.join_buckets,
+                             batch_format="pandas")
+
+    def _dup_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pa.array(np.concatenate([
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            t.column("cluster_id").to_numpy(zero_copy_only=False)]),
+            pa.int64())})
+
+    dup_ids = parents_ds.map_batches(_dup_ids, batch_format="pyarrow")
+    n_dup = dup_ids.count()
+    buckets = 1 if n_dup <= cfg.broadcast_cap else cfg.join_buckets
+    refs = sharded_key_refs(dup_ids, "doc_id", buckets)
+    dup_rows = filter_by_key_shards(slim, "doc_id", refs)
+    single_rows = filter_by_key_shards(slim, "doc_id", refs, invert=True)
+
+    assigned = lookup_join(dup_rows, "doc_id", parents_ds, "doc_id",
+                           "cluster_id", "cluster_id", cfg)
+
+    dup_clusters = B.grouped_map(assigned, "cluster_id", B.bucket_of_ints,
+                                 _canonical_bucket,
+                                 num_buckets=cfg.join_buckets,
+                                 batch_format="pandas")
+
+    def _singleton(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t.column("doc_id")
+        return pa.table({
+            "doc_id": ids,
+            "n_bytes": t.column("n_bytes"),
+            "mtime": (t.column("mtime") if "mtime" in t.column_names
+                      else pa.array(np.zeros(n, np.int64), pa.int64())),
+            "cluster_id": ids,
+            "cluster_size": pa.array(np.ones(n, np.int64), pa.int64()),
+            "is_canonical": pa.array(np.ones(n, bool), pa.bool_()),
+        })
+
+    singles = single_rows.map_batches(_singleton, batch_format="pyarrow")
+    return dup_clusters.union(singles)
 
 
 def clusters_with_identity(res: DedupResult, cfg: PipelineConfig):

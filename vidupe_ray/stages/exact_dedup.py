@@ -73,8 +73,18 @@ def winner_filter(corpus_ds, membership_ds, cfg: PipelineConfig,
     invariant ``n_removal_set == n_losers + n_rejects`` (the judge-visible
     proof that broadcast footprint scales with duplicates, not corpus).
     """
-    from .normalize import batch_doc_ids
-    from ..state.joins import sharded_key_refs, filter_by_key_shards
+    refs, stats = removal_refs(membership_ds, cfg, rejects_ids_ds)
+    winners = apply_winner_filter(corpus_ds, refs)
+    return winners, stats
+
+
+def removal_refs(membership_ds, cfg: PipelineConfig, rejects_ids_ds=None):
+    """Build the sharded removal-id refs (losers + rejects) once so
+    MULTIPLE datasets can be winner-filtered against the same set — the
+    fused-fingerprint plan filters both the raw corpus (for containment)
+    and the all-docs signature table with one removal build.  Returns
+    ``(refs, stats)``."""
+    from ..state.joins import sharded_key_refs
 
     losers = membership_ds.map_batches(
         lambda df: df[df.doc_id != df.winner_id][["doc_id"]],
@@ -88,6 +98,19 @@ def winner_filter(corpus_ds, membership_ds, cfg: PipelineConfig,
             removal = removal.union(
                 rejects_ids_ds.select_columns(["doc_id"]))
     n_removal = n_losers + n_rejects
+    buckets = 1 if n_removal <= cfg.broadcast_cap else cfg.join_buckets
+    refs = sharded_key_refs(removal, "doc_id", buckets)
+    stats = {"n_winners": membership_ds.count() - n_losers,
+             "n_losers": n_losers, "n_rejects": n_rejects,
+             "n_removal_set": n_removal}
+    return refs, stats
+
+
+def apply_winner_filter(ds, refs):
+    """Anti-join ``ds`` (any dataset with a doc_id column, stamping one
+    from identity when absent) against prebuilt removal refs."""
+    from .normalize import batch_doc_ids
+    from ..state.joins import filter_by_key_shards
 
     def _with_ids(batch: pa.Table) -> pa.Table:
         if "doc_id" in batch.column_names:
@@ -95,14 +118,8 @@ def winner_filter(corpus_ds, membership_ds, cfg: PipelineConfig,
         return batch.append_column(
             "doc_id", pa.array(batch_doc_ids(batch), pa.int64()))
 
-    with_ids = corpus_ds.map_batches(_with_ids, batch_format="pyarrow")
-    buckets = 1 if n_removal <= cfg.broadcast_cap else cfg.join_buckets
-    refs = sharded_key_refs(removal, "doc_id", buckets)
-    winners = filter_by_key_shards(with_ids, "doc_id", refs, invert=True)
-    stats = {"n_winners": membership_ds.count() - n_losers,
-             "n_losers": n_losers, "n_rejects": n_rejects,
-             "n_removal_set": n_removal}
-    return winners, stats
+    with_ids = ds.map_batches(_with_ids, batch_format="pyarrow")
+    return filter_by_key_shards(with_ids, "doc_id", refs, invert=True)
 
 
 def exact_edges(membership_ds):

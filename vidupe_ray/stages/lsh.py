@@ -280,12 +280,44 @@ def _pairs_table(doc_id, nsh, i_k, j_k, hamming, best_sim, modifier, kind,
     })
 
 
-def candidate_pairs(signatures_ds, cfg: PipelineConfig,
-                    num_buckets: int = 64):
-    """signatures -> deduped phase-1 pair dataset (both channels).
+def _dedupe_pair_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """One row per (a, b): prefer near/near_cand rows over contain_cand
+    (the anchor-channel twin of a band-channel pair loses)."""
+    pri = (df["kind"] == "contain_cand").astype(np.int8)
+    df = df.assign(__pri=pri).sort_values(
+        ["a", "b", "__pri"], kind="stable")
+    df = df.drop_duplicates(["a", "b"], keep="first")
+    return df.drop(columns="__pri")
 
-    One slim emission, one bucketed shuffle + vectorized gate, one
-    bucketed dedupe over tiny pair rows.
+
+def dedupe_pairs(pairs_ds, num_buckets: int = 64):
+    """Global (a, b) dedupe of a raw pair stream — one bucketed shuffle
+    keyed by the mixed pair hash.  The broadcast verify plan needs this
+    up front; the grid plan dedupes inside its cells instead (a pair's
+    rows always share a cell), saving this whole exchange
+    (``verify_candidates(dedupe_in_cell=True)``, round-4 floor work)."""
+    def _pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).view(H.U64)
+        bb = batch.column("b").to_numpy(zero_copy_only=False).view(H.U64)
+        pk = H.mix64(a * H.U64(0x9E3779B97F4A7C15) ^ bb).view(np.int64)
+        return batch.append_column("pair_key", pa.array(pk, pa.int64()))
+
+    keyed = pairs_ds.map_batches(_pair_bucket, batch_format="pyarrow")
+    return B.grouped_map(
+        keyed, "pair_key", B.bucket_of_ints,
+        lambda df: _dedupe_pair_frame(df).drop(columns="pair_key"),
+        num_buckets=num_buckets, batch_format="pandas")
+
+
+def candidate_pairs(signatures_ds, cfg: PipelineConfig,
+                    num_buckets: int = 64, dedupe: bool = True):
+    """signatures -> phase-1 pair dataset (both channels).
+
+    One slim emission, one bucketed shuffle + vectorized gate, and (by
+    default) one bucketed dedupe over tiny pair rows.  Pass
+    ``dedupe=False`` when the consumer dedupes itself — the grid verify
+    plan does it inside its cells, so the flagship skips this exchange
+    entirely (one fewer all-to-all + materialization barrier).
     """
     emitted = signatures_ds.map_batches(
         BandEmitter(cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
@@ -294,27 +326,9 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig,
     pairs = B.grouped_map(emitted, "key", B.bucket_of_ints,
                           lambda t: verifier(t),
                           num_buckets=num_buckets, batch_format="pyarrow")
-
-    def _dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        # prefer near/near_cand rows over contain_cand for the same pair
-        pri = (df["kind"] == "contain_cand").astype(np.int8)
-        df = df.assign(__pri=pri).sort_values(
-            ["a", "b", "__pri"], kind="stable")
-        df = df.drop_duplicates(["a", "b"], keep="first")
-        return df.drop(columns="__pri")
-
-    def _pair_bucket(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False).view(H.U64)
-        bb = batch.column("b").to_numpy(zero_copy_only=False).view(H.U64)
-        pk = H.mix64(a * H.U64(0x9E3779B97F4A7C15) ^ bb).view(np.int64)
-        return batch.append_column("pair_key", pa.array(pk, pa.int64()))
-
-    keyed = pairs.map_batches(_pair_bucket, batch_format="pyarrow")
-    deduped = B.grouped_map(
-        keyed, "pair_key", B.bucket_of_ints,
-        lambda df: _dedupe(df).drop(columns="pair_key"),
-        num_buckets=num_buckets, batch_format="pandas")
-    return deduped
+    if not dedupe:
+        return pairs
+    return dedupe_pairs(pairs, num_buckets)
 
 
 def pair_id_ds(pairs_ds, cols=("a", "b")):
@@ -378,7 +392,8 @@ def apply_pair_decision(batch: pa.Table, jac: np.ndarray,
 
 def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig,
                       n_pairs: int | None = None,
-                      n_sig_rows: int | None = None):
+                      n_sig_rows: int | None = None,
+                      dedupe_in_cell: bool = False):
     # n_sig_rows is accepted for call-site symmetry but unused: the
     # candidate-id subset measured faster at every scale tried (see the
     # grid-branch comment)
@@ -432,6 +447,13 @@ def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig,
         def _verify_cell(cell: pa.Table, sa, sb) -> pa.Table:
             if cell.num_rows == 0 or sa[1] is None or sb[1] is None:
                 return _empty_pairs()
+            if dedupe_in_cell:
+                # global (a,b) dedupe is exact here: the cell key is a
+                # pure function of (a,b), so every row of a pair lands
+                # in this cell — the upstream dedupe shuffle is skipped
+                cell = pa.Table.from_pandas(
+                    _dedupe_pair_frame(cell.to_pandas()),
+                    preserve_index=False).cast(cell.schema)
             ids_a, tbl_a = sa
             ids_b, tbl_b = sb
             a = cell.column("a").to_numpy(zero_copy_only=False)
@@ -451,6 +473,10 @@ def verify_candidates(pairs_ds, signatures_ds, cfg: PipelineConfig,
                                k=cfg.grid_k)
 
     # ---- broadcast signature fetch (the fast path under the cap) --------
+    if dedupe_in_cell:
+        # no grid cells to dedupe in — run the explicit dedupe exchange
+        # (small data by definition of this branch)
+        pairs_ds = dedupe_pairs(pairs_ds).materialize()
     from .verify_contain import collect_ids
     ids = collect_ids(pairs_ds)
     if len(ids) == 0:
