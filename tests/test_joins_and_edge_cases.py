@@ -391,3 +391,37 @@ def test_interval_join_edge_cases(ray_session, tmp_path):
         "purchase_id").reset_index(drop=True)
     assert got["purchase_id"].tolist() == [10, 11, 12]
     assert got["n_views"].tolist() == [2, 0, 0]
+
+
+def test_fused_fingerprint_plan_byte_identical(ray_session):
+    """Round-4 plan gate: the fused single-pass normalize+fingerprint
+    plan (signatures for ALL docs, losers dropped post-hoc; content
+    never materialized) must produce byte-identical clusters AND pairs
+    vs the winners-first plan on a corpus WITH exact dups and rejects."""
+    import pyarrow as pa
+    import ray.data as rd
+    from vidupe_ray.corpus import generate_corpus
+    from vidupe_ray.pipelines.dedup import run_dedup
+    corpus, _ = generate_corpus(900, seed=42)
+    # plant exact dups + an empty doc so the removal filter is non-trivial
+    extra = pa.table({
+        "repo": pa.array(["x/r"] * 3, pa.string()),
+        "path": pa.array([f"c{i}.py" for i in range(3)], pa.string()),
+        "commit": pa.array(["e" * 40] * 3, pa.string()),
+        "lang": pa.array(["py"] * 3, pa.string()),
+        "content": pa.array(
+            [corpus.column("content")[0].as_py(),
+             corpus.column("content")[0].as_py(), "   \n  "],
+            corpus.schema.field("content").type),
+    })
+    big = pa.concat_tables([corpus, extra])
+    frames = {}
+    for fused in (False, True):
+        cfg = PipelineConfig(fingerprint_concurrency=2,
+                             fused_fingerprint=fused)
+        res = run_dedup(rd.from_arrow(big), cfg)
+        frames[fused] = (_cluster_frame(res), _pair_set(res))
+    cf, pf = frames[False]
+    ct, pt = frames[True]
+    assert pf == pt
+    pd.testing.assert_frame_equal(cf, ct)

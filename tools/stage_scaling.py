@@ -63,25 +63,36 @@ def _stamp(b):
     return b.append_column("doc_id", pa.array(batch_doc_ids(b),
                                               pa.int64()))
 
-# fused pin+normalize — matches run_dedup's round-3 structure: one
-# read->stamp->normalize pass materializes content+metadata together;
-# docs is a zero-copy column projection of the pinned blocks
+# fused normalize+fingerprint — matches run_dedup's round-4 structure:
+# ONE read->stamp->normalize->fingerprint pass; signatures for all docs,
+# losers/rejects dropped by the shared removal refs; content never
+# materializes (containment re-reads the source)
+from vidupe_ray.stages.fingerprint import _cached_fingerprinter
+_SIG_EXTRA = ["n_tokens", "n_shingles", "simhash", "simhash_head",
+              "simhash_tail", "minhash", "anchors", "low_content"]
+
 def _fused(b):
     b = _stamp(b)
     meta = normalize_batch(b)
-    return meta.append_column("content", b.column("content"))
+    sigs_t = _cached_fingerprinter(cfg)(b)
+    for c in _SIG_EXTRA:
+        meta = meta.append_column(c, sigs_t.column(c))
+    return meta
 
-corpus = tick("pin_normalize", lambda: rd.read_parquet(cdir)
-              .repartition(2 * ncpu)
-              .map_batches(_fused, batch_format="pyarrow").materialize())
-docs = corpus.drop_columns(["content"])
+wide = tick("normalize_fingerprint", lambda: rd.read_parquet(cdir)
+            .repartition(2 * ncpu)
+            .map_batches(_fused, batch_format="pyarrow",
+                         batch_size=cfg.batch_size).materialize())
+docs = wide.drop_columns(_SIG_EXTRA)
 membership = tick("exact_dedup",
                   lambda: ed.exact_dedup(docs, cfg).materialize())
 rejects = docs.filter(expr="status != 'ok'").select_columns(["doc_id"])
-winners, stats = ed.winner_filter(corpus, membership, cfg,
-                                  rejects_ids_ds=rejects)
-sigs = tick("fingerprint",
-            lambda: fingerprint_dataset(winners, cfg).materialize())
+removal, stats = ed.removal_refs(membership, cfg, rejects_ids_ds=rejects)
+corpus = rd.read_parquet(cdir)          # lazy; containment subset only
+winners = ed.apply_winner_filter(corpus, removal)
+sigs = tick("sig_filter", lambda: ed.apply_winner_filter(
+    wide.select_columns(["doc_id", "lang", "n_bytes"] + _SIG_EXTRA),
+    removal).materialize())
 cand = tick("candidates",
             lambda: lsh.candidate_pairs(sigs, cfg,
                                         dedupe=False).materialize())
