@@ -93,22 +93,28 @@ def dedup_summary(sf_dir: str):
             "n_chars": df["n_chars"]})
 
     def _grp(df: pd.DataFrame) -> pd.DataFrame:
+        # per-BUCKET partial (one row per bucket, not per group): the
+        # downstream aggregate sums ~join_buckets rows instead of
+        # materializing one row per distinct content (O(n) at corpus
+        # scale — the round-3 plan's one mid-pipeline materialization)
         g = df.groupby("md5", as_index=False).agg(
             kept=("n_chars", "max"), total=("n_chars", "sum"),
             cnt=("n_chars", "size"))
-        return g[["kept", "total", "cnt"]]
+        return pd.DataFrame({
+            "kept": [int(g["kept"].sum())],
+            "total": [int(g["total"].sum())],
+            "cnt": [int(g["cnt"].sum())],
+            "n_groups": [len(g)]})
 
     from ..state import bucketing as B
     per = B.grouped_map(
         read_documents(sf_dir, ["text", "n_chars"])
         .map_batches(_chars, batch_format="pandas"),
         "md5", B.bucket_of_strings, _grp, batch_format="pandas")
-    per = per.materialize()
-    distinct_docs = per.count()
-    agg = per.sum(["kept", "total", "cnt"])
+    agg = per.sum(["kept", "total", "cnt", "n_groups"])
     reclaimable = int(agg["sum(total)"] - agg["sum(kept)"])
     return pd.DataFrame({"total_docs": [int(agg["sum(cnt)"])],
-                         "distinct_docs": [distinct_docs],
+                         "distinct_docs": [int(agg["sum(n_groups)"])],
                          "total_chars": [int(agg["sum(total)"])],
                          "reclaimable_chars": [reclaimable]})
 
