@@ -27,20 +27,26 @@ for _k, _v in (("MALLOC_MMAP_THRESHOLD_", "1073741824"),
 def main(n: int = 5_000_000, seed: int = 42):
     out = f"/tmp/vidupe_bench/sf0.1_n{n}_s{seed}"
     if not os.path.exists(os.path.join(out, "corpus")):
-        # generate in a SUBPROCESS: the driver-side generator inflates the
-        # process heap to ~5 B/doc x 10, and the MALLOC_TRIM tuning above
-        # (needed by the pipeline workers) prevents glibc from ever
-        # returning those freed pages — a 10M-doc in-process generation
-        # left the driver pinning ~30 GB and OOM-wedged the run.  A child
-        # process gives the memory back on exit.
-        import subprocess
-        os.makedirs(out, exist_ok=True)
+        # generate in SUBPROCESSES: the driver-side generator inflates the
+        # process heap to ~5 GB per million docs, and the MALLOC_TRIM
+        # tuning above (needed by the pipeline workers) prevents glibc
+        # from ever returning those freed pages — a 10M-doc in-process
+        # generation OOM-wedged the run and a single-subprocess 20M
+        # generation was OOM-KILLED at ~104 GB.  Chunked generation
+        # bounds per-process heap and parallelizes the chunks.
         t0 = time.perf_counter()
-        subprocess.run([sys.executable, "-c", (
-            "import sys; sys.path.insert(0, %r); "
-            "from vidupe_ray.corpus import write_corpus; "
-            "write_corpus(%r, %d, seed=%d, shards=64)"
-            % (REPO, out, n, seed))], check=True)
+        if n > 6_000_000:
+            sys.path.insert(0, REPO)
+            from vidupe_ray.corpus import write_corpus_chunked
+            write_corpus_chunked(out, n, seed=seed)
+        else:
+            import subprocess
+            os.makedirs(out, exist_ok=True)
+            subprocess.run([sys.executable, "-c", (
+                "import sys; sys.path.insert(0, %r); "
+                "from vidupe_ray.corpus import write_corpus; "
+                "write_corpus(%r, %d, seed=%d, shards=64)"
+                % (REPO, out, n, seed))], check=True)
         print(f"# corpus generated in {time.perf_counter() - t0:.0f}s",
               file=sys.stderr)
 

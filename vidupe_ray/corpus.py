@@ -166,11 +166,16 @@ class _Gen:
 
 
 def generate_corpus(n_docs: int, seed: int = 42,
-                    hotband_group: int | None = None) -> tuple:
+                    hotband_group: int | None = None,
+                    id_offset: int = 0) -> tuple:
     """Return ``(corpus: pa.Table, truth: pa.Table)``.
 
     ``hotband_group`` overrides the size of the shared-header class (for the
     skew smoke test, SURVEY.md §5.5); default scales with n_docs.
+    ``id_offset`` shifts the per-doc file index used in paths so CHUNKED
+    generations (write_corpus_chunked) get disjoint identity namespaces —
+    identical (repo, path) draws across chunks would otherwise collide
+    into duplicate doc_ids.
     """
     g = _Gen(seed)
     rng = g.rng
@@ -184,7 +189,8 @@ def generate_corpus(n_docs: int, seed: int = 42,
 
     def ident(i, lang):
         repo = f"org{int(rng.zipf(1.6)) % 40}/repo{rng.randint(0, 200)}"
-        path = (f"src/mod{rng.randint(0, 50)}/file{i}{_LANG_EXT[lang]}")
+        path = (f"src/mod{rng.randint(0, 50)}/"
+                f"file{i + id_offset}{_LANG_EXT[lang]}")
         return repo, path, g.commit_for(repo, path)
 
     def add(i, lines, lang, cls, gid, joiner="\n"):
@@ -291,3 +297,67 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42,
                        os.path.join(cdir, f"part-{s // per:05d}.parquet"))
     pq.write_table(truth, os.path.join(out_dir, "truth.parquet"))
     return cdir
+
+
+def _write_chunk(out_dir: str, k: int, n_docs: int, seed: int,
+                 shards: int) -> None:
+    """One chunk of a chunked generation (runs in its own subprocess):
+    chunk-distinct seed, disjoint id namespace, group ids offset into a
+    chunk-private band so truth tables concatenate cleanly."""
+    import os
+    import pyarrow.parquet as pq
+    corpus, truth = generate_corpus(n_docs, seed=seed + 7919 * k,
+                                    id_offset=k * n_docs)
+    gid = truth.column("group_id").to_numpy(zero_copy_only=False).copy()
+    gid[gid > 0] += np.int64(k) * np.int64(10 ** 12)
+    truth = truth.set_column(truth.schema.get_field_index("group_id"),
+                             "group_id", pa.array(gid, pa.int64()))
+    cdir = os.path.join(out_dir, "corpus")
+    os.makedirs(cdir, exist_ok=True)
+    n = corpus.num_rows
+    per = max(1, (n + shards - 1) // shards)
+    for s in range(0, n, per):
+        pq.write_table(corpus.slice(s, per),
+                       os.path.join(cdir, f"part-c{k:03d}-{s // per:05d}"
+                                          f".parquet"))
+    pq.write_table(truth, os.path.join(out_dir, f"truth-c{k:03d}.parquet"))
+
+
+def write_corpus_chunked(out_dir: str, n_docs: int, seed: int = 42,
+                         chunk_docs: int = 2_000_000,
+                         shards_per_chunk: int = 8,
+                         max_procs: int = 5) -> str:
+    """Chunked, multi-process corpus generation for stress scales.
+
+    A single-process ``write_corpus`` builds the whole table in one heap
+    (~5 GB per million docs) — a 20M-doc generation OOM-killed a 125 GiB
+    box.  Here each ~``chunk_docs`` chunk generates in its own SUBPROCESS
+    (bounded heap, memory returned on exit) with a chunk-distinct seed
+    and a disjoint identity namespace (``id_offset``), ``max_procs``
+    chunks in flight — duplicate groups live within chunks, the
+    sharded-ingest shape of a real corpus.  Deterministic for a given
+    (n_docs, seed, chunk_docs).
+    """
+    import concurrent.futures as cf
+    import os
+    import subprocess
+    import sys
+    n_chunks = -(-n_docs // chunk_docs)
+    sizes = [min(chunk_docs, n_docs - k * chunk_docs)
+             for k in range(n_chunks)]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _run(k):
+        subprocess.run([sys.executable, "-c", (
+            "import sys; sys.path.insert(0, %r); "
+            "from vidupe_ray.corpus import _write_chunk; "
+            "_write_chunk(%r, %d, %d, %d, %d)"
+            % (repo_root, out_dir, k, sizes[k], seed, shards_per_chunk)
+        )], check=True)
+        return k
+
+    os.makedirs(out_dir, exist_ok=True)
+    with cf.ThreadPoolExecutor(max_workers=max_procs) as ex:
+        for k in ex.map(_run, range(n_chunks)):
+            pass
+    return os.path.join(out_dir, "corpus")
