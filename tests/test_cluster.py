@@ -140,3 +140,77 @@ def test_canonical_pick_multi_attribute(ray_session):
     assert canon.loc[20] == 20     # beyond tol, size wins
     assert canon.loc[30] == 30     # mtime tie, min doc_id
     assert (out.groupby("cluster_id")["is_canonical"].sum() == 1).all()
+
+
+def test_assign_cluster_paths_identical(ray_session):
+    """Round-4 floor work: assign_clusters has THREE routes (broadcast
+    zero-shuffle fast path, single full shuffle, sharded dup/singleton
+    split) gated only on size thresholds — all must emit identical rows
+    for the same input."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from vidupe_ray.config import PipelineConfig
+    from vidupe_ray.pipelines.dedup import assign_clusters
+
+    rng = np.random.RandomState(3)
+    n = 1200
+    ids = np.arange(n, dtype=np.int64)
+    docs = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_bytes": pa.array(rng.randint(100, 5000, n).astype(np.int64)),
+        "mtime": pa.array(rng.randint(0, 10**6, n).astype(np.int64)),
+        "status": pa.array(np.where(rng.rand(n) < 0.05, "reject", "ok")),
+    })
+    # ~100 clusters of sizes 2-6; parents carry only non-root members
+    members, roots = [], []
+    next_id = 0
+    while next_id < 600:
+        size = int(rng.randint(2, 7))
+        grp = ids[next_id:next_id + size]
+        members.extend(grp[1:]); roots.extend([grp[0]] * (len(grp) - 1))
+        next_id += size + int(rng.randint(0, 8))
+    parents = pa.table({
+        "doc_id": pa.array(np.array(members, np.int64)),
+        "cluster_id": pa.array(np.array(roots, np.int64)),
+    })
+
+    def run(cfg):
+        out = assign_clusters(rd.from_arrow(docs), rd.from_arrow(parents),
+                              cfg).to_pandas()
+        return (out.sort_values("doc_id").reset_index(drop=True)
+                [["doc_id", "n_bytes", "mtime", "cluster_id",
+                  "cluster_size", "is_canonical"]])
+
+    broadcast = run(PipelineConfig())                       # 2*|parents| << cap
+    single = run(PipelineConfig(broadcast_cap=1,
+                                assign_split_threshold=10**9))
+    split = run(PipelineConfig(broadcast_cap=1,
+                               assign_split_threshold=0))
+    pd.testing.assert_frame_equal(broadcast, single)
+    pd.testing.assert_frame_equal(broadcast, split)
+    # sanity: every dup cluster kept exactly one canonical member
+    dup = broadcast[broadcast["cluster_size"] > 1]
+    assert (dup.groupby("cluster_id")["is_canonical"].sum() == 1).all()
+    # expected dup rows = ok-status members of clusters with >=2 ok members
+    ok_ids = set(docs.to_pandas().query("status == 'ok'")["doc_id"])
+    want = {}
+    for m, r in zip(members, roots):
+        want.setdefault(r, {r} if r in ok_ids else set())
+        if m in ok_ids:
+            want[r].add(m)
+    n_expected = sum(len(v) for v in want.values() if len(v) > 1)
+    assert len(dup) == n_expected > 0
+    # EMPTY parents (no dups at all): the real pipeline feeds
+    # connected_components output here, which on zero edges collects to a
+    # frame with NO columns — the broadcast path must still emit every ok
+    # doc as a singleton (regression: KeyError 'doc_id')
+    no_edges = rd.from_pandas(pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"),
+         "b": pd.Series([], dtype="int64")}))
+    empty_parents = connected_components(no_edges)
+    out = assign_clusters(rd.from_arrow(docs), empty_parents,
+                          PipelineConfig()).to_pandas()
+    assert (out["cluster_size"] == 1).all() and out["is_canonical"].all()
+    assert len(out) == int((docs.to_pandas()["status"] == "ok").sum())

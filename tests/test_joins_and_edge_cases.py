@@ -425,3 +425,42 @@ def test_fused_fingerprint_plan_byte_identical(ray_session):
     ct, pt = frames[True]
     assert pf == pt
     pd.testing.assert_frame_equal(cf, ct)
+
+
+def test_hash_grouped_map_matches_grouped_map(ray_session):
+    """Round-4 floor work: the two-wave task shuffle must produce the
+    same per-group reductions as the sort-shuffle grouped_map (same
+    bucket_fn, same apply_fn) — exact_dedup switches between them purely
+    on overhead grounds."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from vidupe_ray.state import bucketing as B
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    keys = np.array([f"k{v}" for v in rng.randint(0, 800, n)], dtype=object)
+    df = pd.DataFrame({"sha256_canon": keys,
+                       "doc_id": rng.permutation(n).astype("int64")})
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.groupby("sha256_canon")["doc_id"].transform("min")
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "winner_id": w.astype("int64")})
+
+    ds = rd.from_pandas(df).repartition(6)
+    a = B.grouped_map(ds, "sha256_canon", B.bucket_of_strings, winners,
+                      num_buckets=16, batch_format="pandas").to_pandas()
+    b = B.hash_grouped_map(ds, "sha256_canon", B.bucket_of_strings,
+                           winners, num_buckets=16,
+                           batch_format="pandas").to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # empty-bucket hygiene: more buckets than keys still yields one schema
+    c = B.hash_grouped_map(ds.limit(3), "sha256_canon",
+                           B.bucket_of_strings, winners, num_buckets=32,
+                           batch_format="pandas")
+    got = c.to_pandas()
+    assert list(got.columns) == ["doc_id", "winner_id"]
+    assert len(got) == 3

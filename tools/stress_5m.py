@@ -58,8 +58,13 @@ def main(n: int = 5_000_000, seed: int = 42):
     # (captured in raylet.out at 10M docs).  A 64 GiB store keeps the
     # sort resident; spill remains the overflow path, not the steady
     # state.  Worker heaps get the rest of the 125 GiB box.
+    # 20M docs roughly doubles the resident sort payload of the 10M run
+    # (band rows + signatures scale linearly); 64 GiB was comfortable at
+    # 10M (zero spill), so take the store to 76 GiB above 12M docs and
+    # leave ~45 GiB for worker heaps on the 125 GiB box.
+    store = (76 if n > 12_000_000 else 64) * (1 << 30)
     ray.init(address="local", num_cpus=32, include_dashboard=False,
-             object_store_memory=64 * (1 << 30),
+             object_store_memory=store,
              logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False

@@ -444,7 +444,6 @@ def assign_clusters(docs_ds, parents_ds, cfg: PipelineConfig):
     # 1.1-1.5 s single vs 1.6 s split); above it the corpus-sized
     # exchange dominates and the split wins.  Both paths emit identical
     # rows (the split is a partition of the same reduction).
-    tol = cfg.canonical_size_tolerance
 
     def _canonical_bucket(df: pd.DataFrame) -> pd.DataFrame:
         """Whole bucket of clusters at once, vectorized sort +
@@ -464,6 +463,97 @@ def assign_clusters(docs_ds, parents_ds, cfg: PipelineConfig):
         cols_out = ["doc_id", "n_bytes", "mtime", "cluster_id",
                     "cluster_size", "is_canonical"]
         return out[[c for c in cols_out if c in out.columns]]
+
+    # ---- BROADCAST fast path (round-4 floor work, second cut) -----------
+    # ``parents`` is O(duplicates): when members ∪ roots fit the broadcast
+    # cap the whole assignment needs ZERO shuffles — stream-filter the
+    # dup-involved rows (searchsorted against a broadcast sorted id array,
+    # output is tiny by the cap), run the SAME per-cluster reduction once
+    # on the collected frame, ``ray.put`` the per-doc verdict arrays, and
+    # emit final rows in ONE streaming pass over the corpus (singletons
+    # filled inline: self-cluster, size 1, canonical).  Replaces both the
+    # full-corpus grouped_map (≤ threshold) and the sharded split (two
+    # filter waves + bucketed shuffle) whenever the dup set is
+    # broadcastable; identical rows by construction — the other paths are
+    # partitions of the same reduction.
+    n_parent = parents_ds.count()
+    if 2 * n_parent <= cfg.broadcast_cap:
+        pmap = parents_ds.to_pandas()
+        # an empty parents dataset can collect to a frame with NO columns
+        if "doc_id" in pmap.columns:
+            member = pmap["doc_id"].to_numpy(dtype=np.int64)
+            root = pmap["cluster_id"].to_numpy(dtype=np.int64)
+        else:
+            member = root = np.empty(0, np.int64)
+        dup_sorted = np.unique(np.concatenate([member, root])) \
+            if len(member) else np.empty(0, np.int64)
+        dup_ref = ray.put(dup_sorted)
+
+        def _dup_rows(t: pa.Table) -> pa.Table:
+            arr = ray.get(dup_ref)
+            if not len(arr) or not t.num_rows:
+                return t.slice(0, 0)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(arr, ids).clip(0, len(arr) - 1)
+            hit = arr[pos] == ids
+            return t.take(pa.array(np.flatnonzero(hit), pa.int64()))
+
+        dup_pd = slim.map_batches(_dup_rows,
+                                  batch_format="pyarrow").to_pandas()
+        if len(member):
+            mo = np.argsort(member, kind="stable")
+            ms, rs = member[mo], root[mo]
+            ids = dup_pd["doc_id"].to_numpy(dtype=np.int64)
+            if len(ids):
+                p = np.searchsorted(ms, ids).clip(0, len(ms) - 1)
+                hit = ms[p] == ids
+                dup_pd["cluster_id"] = np.where(hit, rs[p], ids)
+            else:
+                dup_pd["cluster_id"] = np.empty(0, np.int64)
+        else:
+            dup_pd["cluster_id"] = dup_pd["doc_id"].to_numpy(
+                dtype=np.int64) if len(dup_pd) else np.empty(0, np.int64)
+        verdict = (_canonical_bucket(dup_pd) if len(dup_pd)
+                   else None)
+        if verdict is not None and len(verdict):
+            v_ids = verdict["doc_id"].to_numpy(dtype=np.int64)
+            vo = np.argsort(v_ids, kind="stable")
+            v_pack = (v_ids[vo],
+                      verdict["cluster_id"].to_numpy(dtype=np.int64)[vo],
+                      verdict["cluster_size"].to_numpy(dtype=np.int64)[vo],
+                      verdict["is_canonical"].to_numpy(dtype=bool)[vo])
+        else:
+            v_pack = (np.empty(0, np.int64), np.empty(0, np.int64),
+                      np.empty(0, np.int64), np.empty(0, bool))
+        v_ref = ray.put(v_pack)
+
+        def _assign(t: pa.Table) -> pa.Table:
+            v_ids, v_cid, v_size, v_canon = ray.get(v_ref)
+            n = t.num_rows
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            if len(v_ids):
+                p = np.searchsorted(v_ids, ids).clip(0, len(v_ids) - 1)
+                hit = v_ids[p] == ids
+                cid = np.where(hit, v_cid[p], ids).astype(np.int64)
+                size = np.where(hit, v_size[p],
+                                np.int64(1)).astype(np.int64)
+                canon = np.where(hit, v_canon[p], True)
+            else:
+                cid = ids.astype(np.int64)
+                size = np.ones(n, np.int64)
+                canon = np.ones(n, bool)
+            mt = (t.column("mtime") if "mtime" in t.column_names
+                  else pa.array(np.zeros(n, np.int64), pa.int64()))
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_bytes": t.column("n_bytes"),
+                "mtime": mt,
+                "cluster_id": pa.array(cid, pa.int64()),
+                "cluster_size": pa.array(size, pa.int64()),
+                "is_canonical": pa.array(canon.astype(bool), pa.bool_()),
+            })
+
+        return slim.map_batches(_assign, batch_format="pyarrow")
 
     try:
         n_docs = docs_ds.count()

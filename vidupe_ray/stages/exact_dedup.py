@@ -48,9 +48,15 @@ def exact_dedup(normalized_ds, cfg: PipelineConfig):
                 pa.compute.equal(t.column("status"), "ok"))
                 .select(["sha256_canon", "doc_id"]),
                 batch_format="pyarrow"))
-    return B.grouped_map(tiny, "sha256_canon", B.bucket_of_strings,
-                         _bucket_winners, num_buckets=cfg.join_buckets,
-                         batch_format="pandas")
+    # hash_grouped_map, not grouped_map: this stage's exchange is ~70 B/row
+    # — Ray's sort-shuffle sample pass + two barriers cost more than the
+    # data movement (1.06 s @ 32 CPUs / 500k docs, negative scaling in the
+    # round-4 stage table).  The two-wave task shuffle has no sort and no
+    # barrier between waves; winners are identical (same bucket_fn, same
+    # per-bucket reduction).
+    return B.hash_grouped_map(tiny, "sha256_canon", B.bucket_of_strings,
+                              _bucket_winners, num_buckets=cfg.join_buckets,
+                              batch_format="pandas")
 
 
 def winner_filter(corpus_ds, membership_ds, cfg: PipelineConfig,

@@ -119,6 +119,98 @@ def grouped_map(ds, key_col: str, bucket_fn, apply_fn,
         _apply, batch_format=batch_format)
 
 
+def as_arrow_block(block) -> pa.Table:
+    """Normalize a raw Dataset block to Arrow.  ``to_arrow_refs`` decides
+    zero-copy vs convert on the DATASET-level schema — a mixed-block
+    dataset (e.g. a pandas-mapped leg unioned with an Arrow leg) can leak
+    raw pandas blocks through its zero-copy path, so every task that
+    consumes block refs directly must tolerate both kinds."""
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
+
+
+def _bucket_splitter(key_col: str, bucket_fn, num_buckets: int):
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _split(*blocks):
+        tables = [as_arrow_block(b) for b in blocks]
+        parts = [t for t in tables if t.num_rows]
+        if not parts:
+            empty = tables[0].schema.empty_table()
+            return tuple(empty for _ in range(num_buckets))
+        t = pa.concat_tables(parts)
+        if t.schema.metadata:
+            t = t.replace_schema_metadata(None)
+        vals = t.column(key_col).to_numpy(zero_copy_only=False)
+        b = bucket_fn(vals, num_buckets)
+        # take (not slice): a sliced table pickles its parent buffers —
+        # per-bucket take compacts each partial to exactly its rows
+        return tuple(
+            t.take(pa.array(np.flatnonzero(b == bb), pa.int64()))
+            for bb in range(num_buckets))
+    return _split
+
+
+def _bucket_reducer(apply_fn, batch_format: str):
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _reduce(*parts):
+        ps = [p for p in parts if p.num_rows]
+        t = pa.concat_tables(ps) if ps else parts[0]
+        if batch_format == "pandas":
+            out = apply_fn(t.to_pandas())
+        else:
+            out = apply_fn(t)
+        if isinstance(out, pd.DataFrame):
+            if not len(out):
+                out = out.astype({c: "string" for c in out.columns
+                                  if out[c].dtype == object})
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        if out.schema.metadata:
+            out = out.replace_schema_metadata(None)
+        return out
+    return _reduce
+
+
+def hash_grouped_map(ds, key_col: str, bucket_fn, apply_fn,
+                     num_buckets: int = 64, batch_format: str = "pyarrow",
+                     blocks_per_splitter: int = 4):
+    """``grouped_map`` without Ray's sort shuffle — for SMALL fixed stages
+    where the sort machinery's sample pass + two barriers dominate the
+    actual exchange (exact_dedup's tiny-row shuffle: 1.06 s @ 32 CPUs for
+    ~36 MB of rows).
+
+    Two fully-parallel task waves over the materialized input, the
+    ``sharded_key_refs`` pattern (state/joins.py): splitter tasks hash
+    each chunk of blocks into ``num_buckets`` compact partials
+    (``num_returns=num_buckets``); one reducer per bucket concats its
+    partials and runs ``apply_fn`` (same contract as ``grouped_map``,
+    plus: MUST tolerate an empty input — empty buckets call it with zero
+    rows so every bucket emits an identically-typed block).  The result
+    is re-wrapped as a Dataset from the reducer refs; nothing passes
+    through the driver."""
+    import ray
+    import ray.data as rd
+
+    mat = ds.materialize()
+    block_refs = list(mat.to_arrow_refs())
+    if not block_refs:
+        return mat
+    splitter = _bucket_splitter(key_col, bucket_fn, num_buckets)
+    partials = []
+    for i in range(0, len(block_refs), blocks_per_splitter):
+        chunk = block_refs[i:i + blocks_per_splitter]
+        partials.append(list(
+            splitter.options(num_returns=num_buckets).remote(*chunk)))
+    reducer = _bucket_reducer(apply_fn, batch_format)
+    out_refs = [reducer.remote(*[p[b] for p in partials])
+                for b in range(num_buckets)]
+    return rd.from_arrow_refs(out_refs)
+
+
 def segment_boundaries(sorted_keys: np.ndarray) -> np.ndarray:
     """Offsets of equal-key runs in a sorted array: [0, ..., n]."""
     n = len(sorted_keys)

@@ -62,8 +62,11 @@ def _arrow_schema(ds) -> tuple:
 # --------------------------------------------------------------------------
 
 def _key_shard_builder(key_col: str, buckets: int):
+    from .bucketing import as_arrow_block
+
     @ray.remote(num_cpus=1)
-    def _build(*tables):
+    def _build(*blocks):
+        tables = [as_arrow_block(b) for b in blocks]
         parts = [t.column(key_col).to_numpy(zero_copy_only=False)
                  .astype(np.int64) for t in tables if t.num_rows]
         if not parts:
@@ -293,8 +296,11 @@ def _entry_nbytes(hit) -> int:
 
 
 def _grid_builder_fn(k: int, right_key: str):
+    from .bucketing import as_arrow_block
+
     @ray.remote(num_cpus=1)
-    def _builder(*tables):
+    def _builder(*blocks):
+        tables = [as_arrow_block(b) for b in blocks]
         # a builder chunk can be ALL empty blocks (sparse candidates after
         # filter_by_key_shards routinely leave runs of empty blocks) —
         # concat_tables([]) raises, so build the non-empty list first
@@ -444,9 +450,11 @@ def build_broadcast(ds, build_fn):
     mat = ds.materialize()
     refs = list(mat.to_arrow_refs())
 
+    from .bucketing import as_arrow_block
+
     @ray.remote(num_cpus=1)
-    def _build(*tables):
-        return build_fn(list(tables))
+    def _build(*blocks):
+        return build_fn([as_arrow_block(b) for b in blocks])
 
     return _build.remote(*refs)
 
