@@ -74,8 +74,13 @@ def main(n: int = 5_000_000, seed: int = 42):
     from vidupe_ray.sources.corpus_source import read_corpus
 
     cfg = PipelineConfig(fingerprint_concurrency=30)
+    # keep per-block content bytes at the proven 10M shape (~150k docs /
+    # ~220 MB per block): fixed 64 blocks at 20M would double block size
+    # and with it every map task's peak heap
+    blocks = max(64, n * 64 // 10_000_000)
     t0 = time.perf_counter()
-    res = run_dedup(read_corpus(os.path.join(out, "corpus"), num_blocks=64),
+    res = run_dedup(read_corpus(os.path.join(out, "corpus"),
+                                num_blocks=blocks),
                     cfg, skip_repartition=True)
     n_clusters = res.clusters.count()
     wall = time.perf_counter() - t0
