@@ -154,11 +154,17 @@ def connected_components(edges_ds, max_rounds: int = 25,
     rounds = 0
     converged = False
     while rounds < max_rounds:
-        ls = B.grouped_map(
+        # hash_grouped_map, not grouped_map: each star round shuffles tiny
+        # (u, v) int64 rows — O(edges), orders of magnitude below the
+        # corpus — so Ray's sort-shuffle sample pass + two barriers per
+        # exchange (x2 exchanges x rounds) dominate the data movement.
+        # The two-wave task shuffle has no sort and no inter-wave barrier;
+        # the per-bucket reductions are identical (same bucket_fn).
+        ls = B.hash_grouped_map(
             edges.map_batches(_both_directions, batch_format="pandas"),
             "u", B.bucket_of_ints, _large_star_bucket,
             num_buckets=_NUM_BUCKETS, batch_format="pandas")
-        ss = B.grouped_map(
+        ss = B.hash_grouped_map(
             ls.map_batches(_orient_large_to_small, batch_format="pandas"),
             "u", B.bucket_of_ints, _small_star_bucket,
             num_buckets=_NUM_BUCKETS, batch_format="pandas")
@@ -193,7 +199,7 @@ def connected_components(edges_ds, max_rounds: int = 25,
         g = df.groupby("doc_id", as_index=False)["cluster_id"].min()
         return g
 
-    return B.grouped_map(
+    return B.hash_grouped_map(
         edges.map_batches(_parent_rows, batch_format="pandas"),
         "doc_id", B.bucket_of_ints, _min_parent,
         num_buckets=_NUM_BUCKETS, batch_format="pandas")
