@@ -77,8 +77,11 @@ def exact_dedup_docs(sf_dir: str):
     from ..state import bucketing as B
     hashed = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         _hash, batch_format="pandas")
-    return B.grouped_map(hashed, "md5", B.bucket_of_strings, _groups,
-                         batch_format="pandas")
+    # two-wave task shuffle: the exchange is ~40 B/row (md5 + id) and
+    # Ray's sort-shuffle sample pass + barriers dominate it (see
+    # stages/exact_dedup.py)
+    return B.hash_grouped_map(hashed, "md5", B.bucket_of_strings, _groups,
+                              batch_format="pandas")
 
 
 def dedup_summary(sf_dir: str):
@@ -107,7 +110,7 @@ def dedup_summary(sf_dir: str):
             "n_groups": [len(g)]})
 
     from ..state import bucketing as B
-    per = B.grouped_map(
+    per = B.hash_grouped_map(
         read_documents(sf_dir, ["text", "n_chars"])
         .map_batches(_chars, batch_format="pandas"),
         "md5", B.bucket_of_strings, _grp, batch_format="pandas")
