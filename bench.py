@@ -186,8 +186,17 @@ def run_scaling(repeats: int = 2):
     pairing measures host noise, not the system.  A busy-loop compute
     probe is recorded alongside so the host's capacity at measurement
     time is part of the record.
+
+    ``GRAFT_SCALE_LO``/``GRAFT_SCALE_HI`` override the two levels
+    (default 8 vs 32).  The 2-vs-8 pairing is also reported in
+    BASELINE.md: this VM's single memory controller saturates at ~8
+    workers (measured DRAM curve 6.3/18.7/23.7 GB/s at 1/8/32 procs),
+    so 8→32 measures the shared controller, not the engine; 2→8 sits
+    below saturation and is the closer stand-in for N→4N *nodes*,
+    where each node contributes its own DRAM.
     """
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
 
     def one(ncpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))

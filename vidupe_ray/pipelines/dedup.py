@@ -193,7 +193,13 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
         sig_wide = corpus_ds.map_batches(
             _fused_fp, batch_format="pyarrow",
             batch_size=cfg.batch_size).materialize()
-        docs = sig_wide.drop_columns(_SIG_EXTRA)
+        # materialize the SLIM meta projection (~100 B/row) so the wide
+        # table (minhash = num_perms x 8 B/row, ~22 GB at 20M docs) can
+        # be RELEASED once the winner signatures are extracted — keeping
+        # `docs` a lazy projection of sig_wide pinned both wide copies
+        # (sig_wide + signatures) through the band sort and overflowed
+        # the object store into a disk-full spill at 20M docs
+        docs = sig_wide.drop_columns(_SIG_EXTRA).materialize()
         membership = ed.exact_dedup(docs, cfg).materialize()
         metrics["meta_resumed"] = False
         metrics["fused_fingerprint"] = True
@@ -258,6 +264,10 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
             ["doc_id", "lang", "n_bytes"] + _SIG_EXTRA)
         signatures = ed.apply_winner_filter(sig_view,
                                             removal).materialize()
+        # free the all-docs wide blocks before the band-emission sort:
+        # every downstream consumer reads either `docs` (materialized
+        # slim) or `signatures` (winners only) — never sig_wide again
+        sig_wide = None
     elif checkpoint_dir:
         from ..state.checkpoint import resume_signatures
         signatures, n_cached, n_delta = resume_signatures(
