@@ -172,6 +172,44 @@ def test_flagship_broadcast_cap_100_byte_identical(ray_session):
     assert m["n_removal_set"] < m["n_input"]
 
 
+def test_cand_key_chunks_identical(ray_session):
+    """Key-chunked candidate generation (the bounded-exchange scale plan:
+    C sequential emit->shuffle->gate passes over disjoint key-space
+    chunks) must produce the SAME raw pair multiset as the single pass —
+    a key's whole segment lives in exactly one chunk — and the flagship
+    must stay byte-identical end-to-end."""
+    import ray.data as rd
+    from vidupe_ray.corpus import generate_corpus
+    from vidupe_ray.stages import lsh
+    from vidupe_ray.stages.fingerprint import fingerprint_dataset
+
+    corpus, _ = generate_corpus(900, seed=42)
+
+    # operator-level: raw candidate multiset identical at chunks=3
+    base = PipelineConfig(fingerprint_concurrency=2)
+    sigs = fingerprint_dataset(rd.from_arrow(corpus), base).materialize()
+
+    def multiset(cfg):
+        df = lsh.candidate_pairs(sigs, cfg, dedupe=False).to_pandas()
+        return (df.sort_values(list(df.columns))
+                .reset_index(drop=True))
+    one = multiset(PipelineConfig(cand_key_chunks=1))
+    three = multiset(PipelineConfig(cand_key_chunks=3))
+    pd.testing.assert_frame_equal(one, three)
+    assert len(one) > 0
+
+    # end-to-end: clusters and pairs byte-identical, auto metric recorded
+    res_1 = run_dedup(rd.from_arrow(corpus), base)
+    res_3 = run_dedup(rd.from_arrow(corpus),
+                      PipelineConfig(fingerprint_concurrency=2,
+                                     cand_key_chunks=3))
+    pd.testing.assert_frame_equal(_cluster_frame(res_1),
+                                  _cluster_frame(res_3))
+    assert _pair_set(res_1) == _pair_set(res_3)
+    assert res_3.metrics["cand_key_chunks"] == 3
+    assert res_1.metrics["cand_key_chunks"] == 1
+
+
 def test_containment_bytes_cap_forces_bucketed_content_join(ray_session):
     """broadcast_bytes_cap bounds the content broadcast by BYTES (ADVICE
     r1): a tiny byte cap must push the substring confirm onto the bucketed

@@ -90,6 +90,7 @@ def main(n: int = 5_000_000, seed: int = 42):
         "wall_sec": round(wall, 1),
         "files_per_sec": round(n / wall, 1),
         "n_candidates": res.metrics.get("n_candidates"),
+        "cand_key_chunks": res.metrics.get("cand_key_chunks"),
         "n_pairs": res.metrics.get("n_pairs"),
         "n_clusters": n_clusters,
         "dup_clusters": rep["dup_clusters"],

@@ -148,6 +148,23 @@ class PipelineConfig:
                                   # duplicate graph is solved driver-side
                                   # (vectorized union-find); above it the
                                   # distributed star rounds run
+    cand_key_chunks: int = 0      # LSH candidate generation passes: the band/
+                                  # anchor key space is split into this many
+                                  # disjoint chunks (key % chunks), each pass
+                                  # emitting + shuffling + verifying ONE chunk,
+                                  # so in-flight exchange volume is bounded at
+                                  # emission/chunks no matter the corpus size.
+                                  # 0 = auto: ceil(estimated emission bytes /
+                                  # cand_emit_budget).  A key's whole segment
+                                  # lives in exactly one chunk, so the pair
+                                  # multiset is identical to a single pass
+                                  # (test_cand_key_chunks_identical).
+    cand_emit_budget: int = 8 << 30  # auto-chunking target: max bytes of slim
+                                  # candidate-key rows in one exchange.  At 20M
+                                  # docs the single-pass emission (~27 GB) plus
+                                  # Ray's sort-shuffle copy overflowed a 76 GiB
+                                  # store into a disk-full spill; 8 GiB/pass
+                                  # keeps candidates spill-free at any scale
 
     # --- execution -------------------------------------------------------
     seed: int = 42

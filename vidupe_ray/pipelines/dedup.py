@@ -295,9 +295,15 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     # floor work); the broadcast plan (tiny runs) still dedupes up front
     # inside verify_candidates.  n_candidates therefore counts RAW
     # emissions since round 4 (band/anchor multiplicity included).
-    cand_pairs = lsh.candidate_pairs(signatures, cfg,
-                                     dedupe=False).materialize()
+    cand_pairs = lsh.candidate_pairs(
+        signatures, cfg, dedupe=False,
+        n_sig_rows=metrics["n_winners"]).materialize()
     metrics["n_candidates"] = cand_pairs.count()
+    est_emit = (metrics["n_winners"]
+                * lsh.emission_rows_per_doc(cfg) * lsh.EMIT_ROW_BYTES)
+    metrics["cand_key_chunks"] = (
+        cfg.cand_key_chunks if cfg.cand_key_chunks > 0
+        else max(1, -(-est_emit // cfg.cand_emit_budget)))
     # band/anchor emission is the one big streamed shuffle; its volume is
     # rows x slim-row width (5 fixed cols + key + channel ~ 51 B) — an
     # analytic figure because the emitted stream is never materialized

@@ -85,10 +85,18 @@ def fsl_matrix(table: pa.Table, name: str, width: int) -> np.ndarray:
 
 class BandEmitter:
     """map_batches callable: signatures -> slim candidate key rows
-    (~``bands`` band rows + <= ``anchor_k`` anchor rows per doc)."""
+    (~``bands`` band rows + <= ``anchor_k`` anchor rows per doc).
 
-    def __init__(self, cfg: PipelineConfig):
+    ``key_chunk=(c, C)`` keeps only rows whose key falls in chunk c of a
+    C-way split of the key space (``key % C == c``; keys are mix64
+    outputs, so the split is uniform).  Dropped rows are filtered BEFORE
+    the payload ``take`` — a chunked pass materializes only its own
+    1/C of the emission."""
+
+    def __init__(self, cfg: PipelineConfig,
+                 key_chunk: tuple[int, int] | None = None):
         self.cfg = cfg
+        self.key_chunk = key_chunk
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -151,6 +159,10 @@ class BandEmitter:
         idx = np.concatenate(idx_parts)
         keys = np.concatenate(key_parts).view(np.int64)
         channel = np.concatenate(chan_parts)
+        if self.key_chunk is not None:
+            c, nchunks = self.key_chunk
+            m = (keys.view(H.U64) % H.U64(nchunks)) == H.U64(c)
+            idx, keys, channel = idx[m], keys[m], channel[m]
 
         payload = batch.select(["doc_id", "n_tokens", "n_shingles",
                                 "simhash_head", "simhash_tail"])
@@ -309,8 +321,21 @@ def dedupe_pairs(pairs_ds, num_buckets: int = 64):
         num_buckets=num_buckets, batch_format="pandas")
 
 
+def emission_rows_per_doc(cfg: PipelineConfig) -> int:
+    """Upper bound on slim candidate-key rows one doc emits (bands +
+    anchors + simhash-mode slot sub-band keys)."""
+    extra = 2 * cfg.slot_subbands if cfg.mode == "simhash" else 0
+    return cfg.bands + cfg.anchor_k + extra
+
+
+#: bytes per slim emission row (doc_id + n_tokens + n_shingles + 2 slots
+#: + key = 6 x 8 B, + channel 1 B)
+EMIT_ROW_BYTES = 49
+
+
 def candidate_pairs(signatures_ds, cfg: PipelineConfig,
-                    num_buckets: int = 64, dedupe: bool = True):
+                    num_buckets: int = 64, dedupe: bool = True,
+                    n_sig_rows: int | None = None):
     """signatures -> phase-1 pair dataset (both channels).
 
     One slim emission, one bucketed shuffle + vectorized gate, and (by
@@ -318,14 +343,50 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig,
     ``dedupe=False`` when the consumer dedupes itself — the grid verify
     plan does it inside its cells, so the flagship skips this exchange
     entirely (one fewer all-to-all + materialization barrier).
+
+    **Bounded exchange volume (scale plan):** Ray's sort shuffle
+    materializes the whole emission (~rows x bands+anchors x 49 B) plus
+    a shuffled copy — at 20M docs that is ~2 x 27 GB on top of the 20 GB
+    pinned signature table, which overflowed a 76 GiB store into a
+    disk-full spill.  When the estimated emission exceeds
+    ``cfg.cand_emit_budget`` the key space is split into
+    ``ceil(est / budget)`` disjoint chunks (``key % C == c``; keys are
+    mix64 outputs so the split is uniform) and each chunk runs
+    emit->shuffle->gate as its OWN sequential pass, so in-flight volume
+    is capped at ~2 x budget regardless of corpus size.  A key's whole
+    segment lands in exactly one chunk, so the union of per-chunk pair
+    outputs is identical to the single pass — re-reading the
+    (materialized, zero-copy) signatures C times and re-hashing bands is
+    the only extra cost.  Cross-chunk (a, b) twins (same pair via band
+    keys in different chunks) are deduped exactly where single-pass
+    cross-BUCKET twins already are: ``dedupe_pairs`` here or in-cell in
+    the grid verify.
     """
-    emitted = signatures_ds.map_batches(
-        BandEmitter(cfg), batch_format="pyarrow", batch_size=cfg.batch_size)
+    chunks = cfg.cand_key_chunks
+    if chunks <= 0:
+        n = n_sig_rows if n_sig_rows is not None else signatures_ds.count()
+        est = n * emission_rows_per_doc(cfg) * EMIT_ROW_BYTES
+        chunks = max(1, -(-est // cfg.cand_emit_budget))
 
     verifier = BucketVerifier(cfg)
-    pairs = B.grouped_map(emitted, "key", B.bucket_of_ints,
-                          lambda t: verifier(t),
-                          num_buckets=num_buckets, batch_format="pyarrow")
+
+    def one_pass(key_chunk):
+        emitted = signatures_ds.map_batches(
+            BandEmitter(cfg, key_chunk=key_chunk),
+            batch_format="pyarrow", batch_size=cfg.batch_size)
+        return B.grouped_map(emitted, "key", B.bucket_of_ints,
+                             lambda t: verifier(t),
+                             num_buckets=num_buckets,
+                             batch_format="pyarrow")
+
+    if chunks == 1:
+        pairs = one_pass(None)
+    else:
+        # sequential passes: materializing each chunk's (tiny) pair
+        # output before starting the next is what bounds peak store use
+        parts = [one_pass((c, chunks)).materialize()
+                 for c in range(chunks)]
+        pairs = parts[0].union(*parts[1:])
     if not dedupe:
         return pairs
     return dedupe_pairs(pairs, num_buckets)
