@@ -50,6 +50,34 @@ def main(n: int = 5_000_000, seed: int = 42):
         print(f"# corpus generated in {time.perf_counter() - t0:.0f}s",
               file=sys.stderr)
 
+    # the VM's block device advertises 252 GB but only ~93 GB is real
+    # (df: used+avail); Ray's file-system monitor computes its 95% kill
+    # threshold on the ADVERTISED capacity, i.e. it aborts object
+    # creation once avail < 12.6 GB.  0.98 moves the floor to ~5 GB —
+    # honest on this box because avail (not capacity) is the true number
+    os.environ.setdefault("RAY_local_fs_capacity_threshold", "0.98")
+
+    # disk/shm watcher: the three failed 20M runs died on OutOfDiskError
+    # with the raylet's "Spilled" counter explaining only ~8 of ~38 GB —
+    # the rest was plasma FALLBACK allocation (store full of referenced
+    # blocks).  Sample both channels so the next wall is attributable.
+    import shutil
+    import threading
+
+    def _watch():
+        while True:
+            try:
+                d = shutil.disk_usage("/")
+                s = shutil.disk_usage("/dev/shm")
+                print(f"# disk avail {d.free >> 30} GiB | shm used "
+                      f"{(s.total - s.free) >> 30} GiB", file=sys.stderr,
+                      flush=True)
+            except Exception:
+                pass
+            time.sleep(20)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
     import ray
     # big object store for the 10M-scale band-emission sort: default
     # sizing (~29 GiB) forces tens of GB through Ray's disk spill, and

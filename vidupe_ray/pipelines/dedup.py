@@ -266,8 +266,16 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
                                             removal).materialize()
         # free the all-docs wide blocks before the band-emission sort:
         # every downstream consumer reads either `docs` (materialized
-        # slim) or `signatures` (winners only) — never sig_wide again
+        # slim) or `signatures` (winners only) — never sig_wide again.
+        # BOTH locals must go: sig_view is a lazy projection whose plan
+        # holds the materialized block refs, so keeping it pinned the
+        # whole ~28 GB wide table through the candidate sorts (at 20M
+        # docs plasma filled with referenced blocks and every sort write
+        # became a DISK fallback allocation — the 38 GB "phantom" disk
+        # use that killed three stress runs was exactly this)
         sig_wide = None
+        sig_view = None
+        del sig_view
     elif checkpoint_dir:
         from ..state.checkpoint import resume_signatures
         signatures, n_cached, n_delta = resume_signatures(
