@@ -210,6 +210,54 @@ def test_cand_key_chunks_identical(ray_session):
     assert res_1.metrics["cand_key_chunks"] == 1
 
 
+def test_cand_chunk_resolution_and_empty_chunks(ray_session):
+    """ADVICE r4 closure: (a) resolve_cand_chunks is the single source of
+    truth — explicit config wins and clamps, a non-positive budget raises
+    instead of ZeroDivisionError; (b) a chunk whose key residue is
+    unpopulated (tiny corpus, user-set chunks) is dropped before the
+    union, so the output keeps the pair schema instead of leaking the
+    slim emission schema."""
+    import pytest
+    import ray.data as rd
+    from vidupe_ray.corpus import generate_corpus
+    from vidupe_ray.stages import lsh
+    from vidupe_ray.stages.fingerprint import fingerprint_dataset
+
+    base = PipelineConfig()
+    # explicit wins and is clamped to the sequential-pass cap
+    assert lsh.resolve_cand_chunks(
+        PipelineConfig(cand_key_chunks=5), 10) == 5
+    assert lsh.resolve_cand_chunks(
+        PipelineConfig(cand_key_chunks=10_000), 10) == lsh._MAX_CAND_CHUNKS
+    # auto: ceil(est/budget), never 0
+    assert lsh.resolve_cand_chunks(base, 0) == 1
+    per_doc = lsh.emission_rows_per_doc(base) * lsh.EMIT_ROW_BYTES
+    n_two = (base.cand_emit_budget // per_doc) + 1
+    assert lsh.resolve_cand_chunks(base, n_two) == 2
+    # non-positive budget: rejected at config build AND at use site
+    with pytest.raises(ValueError):
+        PipelineConfig(cand_emit_budget=0)
+    bad = PipelineConfig(cand_key_chunks=1)  # passes __post_init__ guard
+    object.__setattr__(bad, "cand_key_chunks", 0)
+    object.__setattr__(bad, "cand_emit_budget", 0)
+    with pytest.raises(ValueError):
+        lsh.resolve_cand_chunks(bad, 10)
+
+    # (b) 16 chunks over a 60-doc corpus leaves key residues empty; the
+    # union must still carry the PAIR schema and match the single pass
+    corpus, _ = generate_corpus(60, seed=11)
+    sigs = fingerprint_dataset(rd.from_arrow(corpus), base).materialize()
+    one = lsh.candidate_pairs(sigs, PipelineConfig(cand_key_chunks=1),
+                              dedupe=False).to_pandas()
+    many = lsh.candidate_pairs(sigs, PipelineConfig(cand_key_chunks=16),
+                               dedupe=False).to_pandas()
+    assert list(many.columns) == list(one.columns) == \
+        [f.name for f in lsh.PAIR_SCHEMA]
+    key = lambda df: (df.sort_values(list(df.columns))
+                      .reset_index(drop=True))
+    pd.testing.assert_frame_equal(key(one), key(many))
+
+
 def test_containment_bytes_cap_forces_bucketed_content_join(ray_session):
     """broadcast_bytes_cap bounds the content broadcast by BYTES (ADVICE
     r1): a tiny byte cap must push the substring confirm onto the bucketed

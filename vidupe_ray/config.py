@@ -265,6 +265,10 @@ class PipelineConfig:
         if self.slot_subbands < 1 or 64 % self.slot_subbands != 0:
             raise ValueError(
                 f"slot_subbands must divide 64 (got {self.slot_subbands})")
+        if self.cand_key_chunks <= 0 and self.cand_emit_budget <= 0:
+            raise ValueError(
+                "cand_emit_budget must be > 0 when cand_key_chunks is "
+                f"auto (got {self.cand_emit_budget})")
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -273,9 +273,7 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
         # docs plasma filled with referenced blocks and every sort write
         # became a DISK fallback allocation — the 38 GB "phantom" disk
         # use that killed three stress runs was exactly this)
-        sig_wide = None
-        sig_view = None
-        del sig_view
+        del sig_wide, sig_view
     elif checkpoint_dir:
         from ..state.checkpoint import resume_signatures
         signatures, n_cached, n_delta = resume_signatures(
@@ -307,16 +305,17 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
         signatures, cfg, dedupe=False,
         n_sig_rows=metrics["n_winners"]).materialize()
     metrics["n_candidates"] = cand_pairs.count()
-    est_emit = (metrics["n_winners"]
-                * lsh.emission_rows_per_doc(cfg) * lsh.EMIT_ROW_BYTES)
-    metrics["cand_key_chunks"] = (
-        cfg.cand_key_chunks if cfg.cand_key_chunks > 0
-        else max(1, -(-est_emit // cfg.cand_emit_budget)))
-    # band/anchor emission is the one big streamed shuffle; its volume is
-    # rows x slim-row width (5 fixed cols + key + channel ~ 51 B) — an
-    # analytic figure because the emitted stream is never materialized
+    # same resolver candidate_pairs used — the recorded chunk count can
+    # never diverge from the passes actually run
+    metrics["cand_key_chunks"] = lsh.resolve_cand_chunks(
+        cfg, metrics["n_winners"])
+    # band/anchor emission is the one big streamed shuffle; an analytic
+    # figure (rows x slim-row width) because the emitted stream is never
+    # materialized — shares lsh's row-count/width constants so this
+    # estimate and the chunk sizing agree by construction
     shuffle_bytes["lsh_emit_est"] = (
-        metrics["n_winners"] * (cfg.bands + cfg.anchor_k) * 51)
+        metrics["n_winners"]
+        * lsh.emission_rows_per_doc(cfg) * lsh.EMIT_ROW_BYTES)
     shuffle_bytes["pair_stream"] = cand_pairs.size_bytes()
     verified = lsh.verify_candidates(
         cand_pairs, signatures, cfg,

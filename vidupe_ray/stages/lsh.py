@@ -332,6 +332,32 @@ def emission_rows_per_doc(cfg: PipelineConfig) -> int:
 #: + key = 6 x 8 B, + channel 1 B)
 EMIT_ROW_BYTES = 49
 
+#: hard cap on sequential candidate passes — each pass re-reads the
+#: pinned signatures, so a runaway chunk count (absurd explicit config /
+#: tiny budget) degrades to O(chunks) full scans; 256 passes x 8 GiB
+#: budget covers a 2 TiB emission (~40B docs) before the cap binds
+_MAX_CAND_CHUNKS = 256
+
+
+def resolve_cand_chunks(cfg: PipelineConfig, n_sig_rows: int) -> int:
+    """Single source of truth for the candidate-pass chunk count.
+
+    Used by both :func:`candidate_pairs` (to run the passes) and the
+    flagship's metrics (`pipelines/dedup.py`) so the recorded
+    ``cand_key_chunks`` can never diverge from the count actually run.
+    Explicit ``cfg.cand_key_chunks`` wins; otherwise the estimated slim
+    emission (rows x :func:`emission_rows_per_doc` x ``EMIT_ROW_BYTES``)
+    is ceil-divided by ``cfg.cand_emit_budget``.  Both routes clamp to
+    ``_MAX_CAND_CHUNKS``.
+    """
+    if cfg.cand_key_chunks > 0:
+        return min(cfg.cand_key_chunks, _MAX_CAND_CHUNKS)
+    if cfg.cand_emit_budget <= 0:
+        raise ValueError(
+            f"cand_emit_budget must be > 0 (got {cfg.cand_emit_budget})")
+    est = n_sig_rows * emission_rows_per_doc(cfg) * EMIT_ROW_BYTES
+    return min(max(1, -(-est // cfg.cand_emit_budget)), _MAX_CAND_CHUNKS)
+
 
 def candidate_pairs(signatures_ds, cfg: PipelineConfig,
                     num_buckets: int = 64, dedupe: bool = True,
@@ -362,11 +388,8 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig,
     cross-BUCKET twins already are: ``dedupe_pairs`` here or in-cell in
     the grid verify.
     """
-    chunks = cfg.cand_key_chunks
-    if chunks <= 0:
-        n = n_sig_rows if n_sig_rows is not None else signatures_ds.count()
-        est = n * emission_rows_per_doc(cfg) * EMIT_ROW_BYTES
-        chunks = max(1, -(-est // cfg.cand_emit_budget))
+    n = n_sig_rows if n_sig_rows is not None else signatures_ds.count()
+    chunks = resolve_cand_chunks(cfg, n)
 
     verifier = BucketVerifier(cfg)
 
@@ -383,10 +406,20 @@ def candidate_pairs(signatures_ds, cfg: PipelineConfig,
         pairs = one_pass(None)
     else:
         # sequential passes: materializing each chunk's (tiny) pair
-        # output before starting the next is what bounds peak store use
+        # output before starting the next is what bounds peak store use.
+        # An unpopulated chunk (tiny corpus + explicit chunks>1) yields an
+        # empty dataset still carrying the slim EMISSION schema — apply_fn
+        # never ran — so empty parts are dropped before the union rather
+        # than poisoning it with a mixed schema.
         parts = [one_pass((c, chunks)).materialize()
                  for c in range(chunks)]
-        pairs = parts[0].union(*parts[1:])
+        parts = [p for p in parts if p.count()]
+        if not parts:
+            pairs = ray.data.from_arrow(_empty_pairs())
+        elif len(parts) == 1:
+            pairs = parts[0]
+        else:
+            pairs = parts[0].union(*parts[1:])
     if not dedupe:
         return pairs
     return dedupe_pairs(pairs, num_buckets)
