@@ -230,6 +230,26 @@ def q_trigram_jaccard(sf_dir: str):
     return trigram_jaccard_pairs(sf_dir)
 
 
+def q_containment(sf_dir: str):
+    from vidupe_ray.pipelines.textops import containment_pairs
+    return containment_pairs(sf_dir)
+
+
+def q_repetition(sf_dir: str):
+    from vidupe_ray.pipelines.textops import repetition_score
+    return repetition_score(sf_dir)
+
+
+def q_decontaminate(sf_dir: str):
+    from vidupe_ray.pipelines.textops import decontaminate
+    return decontaminate(sf_dir)
+
+
+def q_gram_ownership(sf_dir: str):
+    from vidupe_ray.pipelines.textops import gram_ownership
+    return gram_ownership(sf_dir)
+
+
 def q_ann_topk(sf_dir: str):
     from vidupe_ray.pipelines.ann import ann_topk
     return ann_topk(sf_dir)
@@ -428,6 +448,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "langid": q_langid,
         "trigram_jaccard": q_trigram_jaccard,
+        "containment_pairs": q_containment,
+        "repetition_score": q_repetition,
+        "decontaminate": q_decontaminate,
+        "gram_ownership": q_gram_ownership,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -610,6 +634,72 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sz sb ON co.b = sb.doc_id
         WHERE CAST(floor(co.inter * 1000000.0
                          / (sa.sz + sb.sz - co.inter)) AS BIGINT) >= 200000"""
+
+    _G5 = ("arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || "
+           "arr[i+3] || ' ' || arr[i+4]")
+    _T5 = f"""t AS (SELECT doc_id,
+                           regexp_split_to_array({_TRIM}, '{_WS}+') AS arr
+                    FROM documents WHERE {_TRIM} != ''),
+        g AS (SELECT DISTINCT doc_id, {_G5} AS gram
+              FROM t, unnest(generate_series(1, greatest(len(arr) - 4, 0)))
+                       AS s(i))"""
+
+    containment_pairs = f"""
+        WITH {_T5},
+        sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+               FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+               GROUP BY x.doc_id, y.doc_id)
+        SELECT co.a, co.b,
+               CAST(floor(co.inter * 1000000.0
+                          / least(sa.sz, sb.sz)) AS BIGINT)
+                   AS containment_ppm
+        FROM co JOIN sz sa ON co.a = sa.doc_id
+                JOIN sz sb ON co.b = sb.doc_id
+        WHERE CAST(floor(co.inter * 1000000.0
+                         / least(sa.sz, sb.sz)) AS BIGINT) >= 500000"""
+
+    repetition_score = f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array({_TRIM}, '{_WS}+') AS arr
+                   FROM documents WHERE {_TRIM} != ''),
+        b AS (SELECT doc_id,
+                     count(DISTINCT arr[i] || ' ' || arr[i+1]) AS n_distinct,
+                     greatest(len(arr) - 1, 0) AS n_bigrams
+              FROM t, unnest(generate_series(1, greatest(len(arr) - 1, 0)))
+                       AS s(i)
+              GROUP BY doc_id, len(arr))
+        SELECT d.doc_id,
+               COALESCE(b.n_bigrams, 0) AS n_bigrams,
+               COALESCE(b.n_distinct, 0) AS n_distinct_bigrams,
+               CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0
+                    ELSE CAST(floor((b.n_bigrams - b.n_distinct)
+                                    * 1000000.0 / b.n_bigrams) AS BIGINT)
+               END AS dup_bigram_ppm
+        FROM documents d LEFT JOIN b USING (doc_id)"""
+
+    decontaminate = f"""
+        WITH {_T5},
+        sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        h AS (SELECT g.doc_id, count(*) AS n_hit_grams
+              FROM g JOIN bg USING (gram)
+              WHERE g.doc_id % 10 != 0 GROUP BY g.doc_id)
+        SELECT h.doc_id, sz.n_grams, h.n_hit_grams,
+               CAST(floor(h.n_hit_grams * 1000000.0 / sz.n_grams) AS BIGINT)
+                   AS hit_ppm
+        FROM h JOIN sz USING (doc_id)"""
+
+    gram_ownership = f"""
+        WITH {_T5},
+        m AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram)
+        SELECT g.doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN m.owner = g.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(floor(sum(CASE WHEN m.owner = g.doc_id THEN 1 ELSE 0
+                              END) * 1000000.0 / count(*)) AS BIGINT)
+                   AS novel_ppm
+        FROM g JOIN m USING (gram) GROUP BY g.doc_id"""
 
     ann_topk = """
         WITH f AS (SELECT vec_id,
@@ -1078,6 +1168,10 @@ def oracle_sql() -> dict[str, str]:
         "quality": quality,
         "langid": _langid_sql(),
         "trigram_jaccard": trigram_jaccard,
+        "containment_pairs": containment_pairs,
+        "repetition_score": repetition_score,
+        "decontaminate": decontaminate,
+        "gram_ownership": gram_ownership,
         "ann_topk": ann_topk,
         "embedding_neardup": embedding_neardup,
         # the LSH scale path is parameter-tuned (ann.lsh_plan) to catch

@@ -16,7 +16,9 @@ SUBSET = ["doc_stats", "exact_dedup", "token_stats", "doc_fingerprints",
           "distinct_contents", "customers_without_orders",
           "customer_order_stats", "orders_rollup", "embedding_clusters",
           "pricing_summary", "part_type_sales", "supplier_region_revenue",
-          "tfidf_top_terms", "dup_rate_by_source", "engaged_users"]
+          "tfidf_top_terms", "dup_rate_by_source", "engaged_users",
+          "containment_pairs", "repetition_score", "decontaminate",
+          "gram_ownership"]
 
 
 @pytest.fixture(scope="module")

@@ -82,3 +82,62 @@ def test_customers_without_orders_non_vacuous(ray_session, tmp_path):
     out = customers_without_orders(str(tmp_path), since="1997-06-01")
     got = dict(zip(out["n_name"], out["n_customers"].astype(int)))
     assert got == {"BETA": 1, "GAMMA": 2}
+
+
+def test_containment_catches_embedded_doc(ray_session, tmp_path):
+    """A doc fully embedded in a larger one has containment 1.0 but a
+    Jaccard well below it — the asymmetric-measure property containment
+    exists for (Broder 1997)."""
+    base = " ".join("tok%d" % i for i in range(40))
+    small = " ".join("tok%d" % i for i in range(12))  # prefix of base
+    other = " ".join("unq%d" % i for i in range(40))
+    sf = _write_docs(tmp_path, [base, small, other])
+    from vidupe_ray.pipelines.textops import (containment_pairs,
+                                              trigram_jaccard_pairs)
+    got = containment_pairs(sf, threshold_ppm=900_000).to_pandas()
+    assert len(got) == 1
+    assert (int(got["a"].iloc[0]), int(got["b"].iloc[0])) == (0, 1)
+    assert int(got["containment_ppm"].iloc[0]) == 1_000_000
+    jac = trigram_jaccard_pairs(sf, threshold_ppm=900_000).to_pandas()
+    assert len(jac) == 0  # symmetric Jaccard misses the embedding
+
+
+def test_decontaminate_planted_overlap(ray_session, tmp_path):
+    """Plant one benchmark doc (id 0, bench_mod picks ids % 10 == 0) and
+    one corpus doc sharing an 8-token span; only that doc is flagged and
+    its hit count equals the shared 5-gram window count."""
+    span = " ".join("shared%d" % i for i in range(8))
+    texts = [
+        span + " " + " ".join("bench%d" % i for i in range(10)),  # id 0
+        " ".join("clean%d" % i for i in range(20)),               # id 1
+        " ".join("pre%d" % i for i in range(6)) + " " + span,     # id 2
+    ]
+    sf = _write_docs(tmp_path, texts)
+    from vidupe_ray.pipelines.textops import decontaminate
+    got = decontaminate(sf).to_pandas()
+    assert got["doc_id"].tolist() == [2]
+    # an 8-token span contains exactly 4 distinct 5-grams
+    assert int(got["n_hit_grams"].iloc[0]) == 4
+
+
+def test_gram_ownership_first_occurrence(ray_session, tmp_path):
+    """Ownership goes to the min doc_id: a verbatim copy owns nothing."""
+    a = " ".join("w%d" % i for i in range(20))
+    sf = _write_docs(tmp_path, [a, a, " ".join("x%d" % i for i in range(9))])
+    from vidupe_ray.pipelines.textops import gram_ownership
+    got = gram_ownership(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [0, 1, 2]
+    assert got["n_novel"].tolist() == [16, 0, 5]   # 20-5+1, copy, 9-5+1
+    assert got["novel_ppm"].tolist() == [1_000_000, 0, 1_000_000]
+
+
+def test_repetition_score_counts(ray_session, tmp_path):
+    """Duplicate bigram accounting: 'a b a b a' has 4 bigrams, 2 distinct."""
+    sf = _write_docs(tmp_path, ["a b a b a", "x", "", "u v w"])
+    from vidupe_ray.pipelines.textops import repetition_score
+    got = repetition_score(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["n_bigrams"].tolist() == [4, 0, 0, 2]
+    assert got["n_distinct_bigrams"].tolist() == [2, 0, 0, 2]
+    assert got["dup_bigram_ppm"].tolist() == [500_000, 0, 0, 0]

@@ -323,39 +323,26 @@ def _gram_pairs_bucket(df: pd.DataFrame,
     return out
 
 
-def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int | None = None,
-                          threshold_ppm: int = 200_000,
-                          hot_gram_cap: int = 4096):
-    """Distributed exact n-gram (word-trigram) set-similarity join: doc ->
-    distinct trigram HASHES -> groupby(gram) inverted index -> pair
-    co-occurrence counts -> Jaccard from |A∩B| and set sizes.  The exact
-    counterpart of the MinHash estimate (and its oracle at small scale).
+_GRAM_SEED = 0x7216A3
 
-    Grams are 64-bit shingle hashes of whitespace-split tokens (the byte
+
+def _distinct_gram_rows(docs, k: int):
+    """(doc_id, gram) rows: distinct word-``k``-gram 64-bit hashes per doc.
+
+    Grams are shingle hashes of whitespace-split tokens (the byte
     tokenizer with the non-whitespace LUT + the flagship's vectorized
-    shingle combine — no Python string is ever built), so the gram rows
-    that ride the inverted-index shuffle are 16 B each and the whole gram
-    pass is batch-vectorized.  'Exact' is up to 64-bit collisions
+    shingle combine — no Python string is ever built), so the rows that
+    ride any downstream shuffle are 16 B each and the whole pass is
+    batch-vectorized.  'Exact' is up to 64-bit collisions
     (P[any collision] ~ G^2/2^65 for G distinct grams — negligible below
-    ~10^8 grams, and the sf-scale oracle checks the output hash-exactly).
-
-    ``hot_gram_cap`` bounds the per-gram pair emission: grams with
-    df > cap are stop grams (see ``_gram_pairs_bucket``) — exactness
-    holds whenever no gram exceeds the cap (always true at oracle scale;
-    the skew test plants a 10k-doc boilerplate gram and asserts bounded
-    emission).
+    ~10^8 grams, and the sf-scale oracles check outputs hash-exactly).
     """
-    docs = read_documents(sf_dir, ["doc_id", "text"])
-    if max_doc_id is not None:
-        docs = docs.filter(expr=f"doc_id < {max_doc_id}")
-
     from vidupe_ray.functions import hashing as H
-    _GRAM_SEED = 0x7216A3
 
     def _grams(t: pa.Table) -> pa.Table:
         th, off = H.byte_tokenize_hash(t.column("text"), _GRAM_SEED,
                                        lut=H._NONWS_LUT)
-        sh, sh_off = H.shingles_from_tokens(th, off, 3, _GRAM_SEED)
+        sh, sh_off = H.shingles_from_tokens(th, off, k, _GRAM_SEED)
         # distinct per doc (each doc lives wholly inside this batch)
         vals, voff = H.bottom_k_distinct(sh, sh_off, 1 << 62)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -364,8 +351,12 @@ def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int | None = None,
             "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
             "gram": pa.array(vals.view(np.int64), pa.int64())})
 
-    grams = docs.map_batches(_grams, batch_format="pyarrow")
+    return docs.map_batches(_grams, batch_format="pyarrow")
 
+
+def _doc_gram_sizes(grams):
+    """Per-doc distinct-gram counts straight out of the gram pass — a
+    doc's grams never split across batches, so no groupby is needed."""
     def _sizes(t: pa.Table) -> pa.Table:
         ids, counts = np.unique(
             t.column("doc_id").to_numpy(zero_copy_only=False),
@@ -373,10 +364,13 @@ def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int | None = None,
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "sz": pa.array(counts, pa.int64())})
 
-    # per-doc distinct counts come straight out of the gram pass — a doc's
-    # grams never split across batches, so no groupby is needed
-    sizes = grams.map_batches(_sizes, batch_format="pyarrow").materialize()
+    return grams.map_batches(_sizes, batch_format="pyarrow").materialize()
 
+
+def _gram_cooccurrence(grams, sizes, hot_gram_cap: int):
+    """Inverted-index co-occurrence join: (doc_id, gram) rows -> pair rows
+    (a, b, inter, sz_a, sz_b).  Shared by every gram-set similarity
+    measure (Jaccard, containment)."""
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
         return _gram_pairs_bucket(df, hot_gram_cap)
 
@@ -399,8 +393,30 @@ def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int | None = None,
     n_sizes = sizes.count()
     withs = lookup_join(co, "a", sizes, "doc_id", "sz", "sz_a",
                         DEFAULT_CONFIG, n_map=n_sizes)
-    withs = lookup_join(withs, "b", sizes, "doc_id", "sz", "sz_b",
-                        DEFAULT_CONFIG, n_map=n_sizes)
+    return lookup_join(withs, "b", sizes, "doc_id", "sz", "sz_b",
+                       DEFAULT_CONFIG, n_map=n_sizes)
+
+
+def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int | None = None,
+                          threshold_ppm: int = 200_000,
+                          hot_gram_cap: int = 4096):
+    """Distributed exact n-gram (word-trigram) set-similarity join: doc ->
+    distinct trigram HASHES -> groupby(gram) inverted index -> pair
+    co-occurrence counts -> Jaccard from |A∩B| and set sizes.  The exact
+    counterpart of the MinHash estimate (and its oracle at small scale).
+
+    ``hot_gram_cap`` bounds the per-gram pair emission: grams with
+    df > cap are stop grams (see ``_gram_pairs_bucket``) — exactness
+    holds whenever no gram exceeds the cap (always true at oracle scale;
+    the skew test plants a 10k-doc boilerplate gram and asserts bounded
+    emission).
+    """
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    if max_doc_id is not None:
+        docs = docs.filter(expr=f"doc_id < {max_doc_id}")
+
+    grams = _distinct_gram_rows(docs, 3)
+    withs = _gram_cooccurrence(grams, _doc_gram_sizes(grams), hot_gram_cap)
 
     def _jaccard(df: pd.DataFrame) -> pd.DataFrame:
         sa = df["sz_a"].to_numpy(np.float64)
@@ -412,6 +428,192 @@ def trigram_jaccard_pairs(sf_dir: str, max_doc_id: int | None = None,
         return out[out["jaccard_ppm"] >= threshold_ppm]
 
     return withs.map_batches(_jaccard, batch_format="pandas")
+
+
+def containment_pairs(sf_dir: str, k: int = 5,
+                      threshold_ppm: int = 500_000,
+                      hot_gram_cap: int = 4096):
+    """n-gram containment-coefficient join: |A∩B| / min(|A|,|B|) over
+    distinct word-5-gram sets.  Containment (Broder 1997, 'On the
+    resemblance and containment of documents') catches SUBSET duplication
+    — a doc embedded inside a larger one — that symmetric Jaccard dilutes
+    (the reference's CutEnds/substring confirm, comparison.cpp:129-168,
+    is the same asymmetric idea at the byte level).
+
+    Same inverted-index plan as ``trigram_jaccard_pairs`` (shared
+    ``_gram_cooccurrence``): slim 16 B hashed-gram rows shuffle, stop-gram
+    cap bounds per-gram emission, set sizes join back cap-gated.
+    """
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    grams = _distinct_gram_rows(docs, k)
+    withs = _gram_cooccurrence(grams, _doc_gram_sizes(grams), hot_gram_cap)
+
+    def _contain(df: pd.DataFrame) -> pd.DataFrame:
+        sa = df["sz_a"].to_numpy(np.float64)
+        sb = df["sz_b"].to_numpy(np.float64)
+        inter = df["inter"].to_numpy(np.float64)
+        ppm = np.floor(inter * 1_000_000.0
+                       / np.minimum(sa, sb)).astype(np.int64)
+        out = pd.DataFrame({"a": df["a"], "b": df["b"],
+                            "containment_ppm": ppm})
+        return out[out["containment_ppm"] >= threshold_ppm]
+
+    return withs.map_batches(_contain, batch_format="pandas")
+
+
+def repetition_score(sf_dir: str):
+    """Per-doc repetition signal: fraction of duplicate word-bigrams
+    (Gopher's 'repetitious text' family of quality filters, Rae et al.
+    2021 §A2.1).  One streaming pass, no shuffle: total bigrams fall out
+    of the shingle offsets, distinct counts out of the per-doc dedup —
+    all vectorized, no Python string is built.
+
+    Output: doc_id, n_bigrams, n_distinct_bigrams, dup_bigram_ppm
+    (floor((total - distinct) * 1e6 / total); 0 for docs with < 2
+    tokens).  Emits every doc, so the result joins 1:1 back onto the
+    corpus as a filter column.
+    """
+    from vidupe_ray.functions import hashing as H
+
+    def _rep(t: pa.Table) -> pa.Table:
+        th, off = H.byte_tokenize_hash(t.column("text"), _GRAM_SEED,
+                                       lut=H._NONWS_LUT)
+        sh, sh_off = H.shingles_from_tokens(th, off, 2, _GRAM_SEED)
+        n_big = np.diff(sh_off).astype(np.int64)
+        _, voff = H.bottom_k_distinct(sh, sh_off, 1 << 62)
+        n_dist = np.diff(voff).astype(np.int64)
+        ppm = np.zeros(len(n_big), dtype=np.int64)
+        nz = n_big > 0
+        ppm[nz] = np.floor((n_big[nz] - n_dist[nz]) * 1_000_000.0
+                           / n_big[nz]).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "n_distinct_bigrams": pa.array(n_dist, pa.int64()),
+            "dup_bigram_ppm": pa.array(ppm, pa.int64())})
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _rep, batch_format="pyarrow")
+
+
+def decontaminate(sf_dir: str, k: int = 5, bench_mod: int = 10):
+    """Benchmark decontamination: flag corpus docs sharing any word-
+    ``k``-gram with a benchmark set (the standard train/test-overlap
+    removal step — GPT-3 appendix C / PaLM §7 style n-gram collision
+    test).  The benchmark here is the deterministic doc_id % bench_mod
+    slice standing in for an external eval-set table; a real run passes
+    the same table through the identical plan.
+
+    Scale shape: the benchmark side is SMALL by construction (eval sets
+    are thousands of docs) — its distinct gram hashes are built ONCE in a
+    remote task (``build_broadcast``: driver never streams them) and
+    ray.put once; the 100-TB corpus side then streams through one
+    map_batches with a vectorized searchsorted membership probe.  No
+    shuffle at all.
+
+    Output (contaminated docs only): doc_id, n_grams, n_hit_grams,
+    hit_ppm.
+    """
+    import ray
+    from vidupe_ray.functions import hashing as H
+    from ..state.joins import build_broadcast
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def _bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % bench_mod == 0))
+        if sub.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.int64())})
+        th, off = H.byte_tokenize_hash(sub.column("text"), _GRAM_SEED,
+                                       lut=H._NONWS_LUT)
+        sh, sh_off = H.shingles_from_tokens(th, off, k, _GRAM_SEED)
+        vals, _ = H.bottom_k_distinct(sh, sh_off, 1 << 62)
+        return pa.table({"gram": pa.array(
+            np.unique(vals).view(np.int64), pa.int64())})
+
+    bench_ref = build_broadcast(
+        docs.map_batches(_bench_grams, batch_format="pyarrow"),
+        # zero-row blocks can surface with an empty schema — skip them
+        lambda blocks: np.unique(np.concatenate(
+            [b.column("gram").to_numpy(zero_copy_only=False)
+             for b in blocks if "gram" in b.schema.names]
+            + [np.empty(0, np.int64)])))
+
+    def _hits(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)  # zero-copy from plasma, once per batch
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        th, off = H.byte_tokenize_hash(t.column("text"), _GRAM_SEED,
+                                       lut=H._NONWS_LUT)
+        sh, sh_off = H.shingles_from_tokens(th, off, k, _GRAM_SEED)
+        vals, voff = H.bottom_k_distinct(sh, sh_off, 1 << 62)
+        svals = vals.view(np.int64)
+        pos = np.searchsorted(bench, svals)
+        hit = np.zeros(len(svals), dtype=np.int64)
+        inb = pos < len(bench)
+        hit[inb] = (bench[pos[inb]] == svals[inb]).astype(np.int64)
+        n_hits = np.add.reduceat(hit, voff[:-1]) if len(hit) else \
+            np.zeros(len(ids), dtype=np.int64)
+        n_hits = np.where(np.diff(voff) > 0, n_hits, 0).astype(np.int64)
+        n_grams = np.diff(voff).astype(np.int64)
+        keep = (n_hits > 0) & (ids % bench_mod != 0)
+        ppm = np.zeros(len(ids), dtype=np.int64)
+        ppm[keep] = np.floor(n_hits[keep] * 1_000_000.0
+                             / n_grams[keep]).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_grams": pa.array(n_grams[keep], pa.int64()),
+            "n_hit_grams": pa.array(n_hits[keep], pa.int64()),
+            "hit_ppm": pa.array(ppm[keep], pa.int64())})
+
+    return docs.map_batches(_hits, batch_format="pyarrow")
+
+
+def gram_ownership(sf_dir: str, k: int = 5):
+    """First-occurrence gram ownership — the C4 'discard any previously
+    seen span' dedup rule (Raffel et al. 2020 §2.2) recast as per-doc
+    novelty accounting: a doc OWNS a gram iff it has the minimum doc_id
+    among all docs containing it.  novel_ppm ~ how much of a doc would
+    survive a corpus-wide seen-before filter.
+
+    Plan: (doc_id, gram-hash) rows -> ONE slim 16 B/row shuffle bucketed
+    by gram hash (per-gram min + per-doc partials inside the bucket) ->
+    one tiny (doc_id, partial) shuffle to sum.  Nothing wide moves.
+
+    Output (docs with >= 1 gram): doc_id, n_grams, n_novel, novel_ppm.
+    """
+    from ..state import bucketing as B
+
+    grams = _distinct_gram_rows(
+        read_documents(sf_dir, ["doc_id", "text"]), k)
+
+    def _own(df: pd.DataFrame) -> pd.DataFrame:
+        """One gram-hash bucket: min doc_id per gram, then per-doc
+        partial (count, novel-count) — pre-aggregated before the second
+        shuffle."""
+        df = df.sort_values(["gram", "doc_id"], kind="stable")
+        g = df["gram"].to_numpy()
+        ids = df["doc_id"].to_numpy(np.int64)
+        off = B.segment_boundaries(g)
+        novel = np.zeros(len(ids), dtype=np.int64)
+        novel[off[:-1]] = 1  # first (= min doc_id) row of each segment
+        part = pd.DataFrame({"doc_id": ids, "n": 1, "novel": novel})
+        return part.groupby("doc_id", as_index=False).sum()
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False)[["n", "novel"]].sum()
+        ppm = np.floor(out["novel"].to_numpy(np.float64) * 1_000_000.0
+                       / out["n"].to_numpy(np.float64)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "n_grams": out["n"].astype("int64"),
+            "n_novel": out["novel"].astype("int64"),
+            "novel_ppm": ppm})
+
+    partial = B.grouped_map(grams, "gram", B.bucket_of_ints, _own,
+                            batch_format="pandas")
+    return B.hash_grouped_map(partial, "doc_id", B.bucket_of_ints, _sum,
+                              batch_format="pandas")
 
 
 def top_docs_per_lang(sf_dir: str, k: int = 5):
