@@ -123,6 +123,10 @@ def run_bench() -> dict:
     timed("quality", textops.quality_scores)
     timed("langid", textops.langid_guess)
     timed("trigram_jaccard", textops.trigram_jaccard_pairs)
+    timed("containment_pairs", textops.containment_pairs)
+    timed("repetition_score", textops.repetition_score)
+    timed("decontaminate", textops.decontaminate)
+    timed("gram_ownership", textops.gram_ownership)
     timed("ann_topk", ann.ann_topk)
     timed("ann_topk_ivf", ann.ivf_topk)
     timed("embedding_neardup", ann.embedding_neardup_pairs)
