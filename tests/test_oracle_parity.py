@@ -35,7 +35,7 @@ def harness(ray_session):
 @pytest.mark.parametrize("name", SUBSET)
 def test_query_matches_oracle(harness, name):
     E, con = harness
-    got = E.queries()[name](SF)
+    got = {**E.queries(), **E.extra_queries()}[name](SF)
     got = got.to_pandas() if hasattr(got, "to_pandas") else got
     want = con.sql(E.oracle_sql()[name]).fetchdf()
     assert sorted(got.columns) == sorted(want.columns)
@@ -77,7 +77,7 @@ def test_dedup_pairs_exact_with_planted_dups(harness, tmp_path):
     sf = str(tmp_path)
     df.to_parquet(f"{sf}/documents.parquet", index=False)
 
-    got = E.queries()["dedup_pairs_exact"](sf)
+    got = E.extra_queries()["dedup_pairs_exact"](sf)
     got = got.to_pandas() if hasattr(got, "to_pandas") else got
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "

@@ -64,7 +64,7 @@ def main(sf_dir: str, only: set | None = None):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs = E.queries()
+    qs = {**E.queries(), **getattr(E, "extra_queries", dict)()}
     sqls = E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
