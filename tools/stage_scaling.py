@@ -144,7 +144,8 @@ def main():
     # reuse bench.py's cached corpus
     import bench
     cdir, n_docs = bench.corpus_dir()
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     p1 = _compute_probe(1)
     probes = {lo: _compute_probe(lo) / p1, hi: _compute_probe(hi) / p1}
     legs = {}
