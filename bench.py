@@ -91,7 +91,8 @@ def run_bench() -> dict:
     headline_runs = []
     for _ in range(2):
         t0 = time.perf_counter()
-        res = run_dedup(read_corpus(cdir, num_blocks=2 * NUM_CPUS), cfg,
+        res = run_dedup(read_corpus(cdir, num_blocks=max(32, 2 * NUM_CPUS)),
+                        cfg,
                         skip_repartition=True)
         n_clusters = res.clusters.count()
         headline_runs.append(time.perf_counter() - t0)

@@ -80,7 +80,7 @@ def _fused(b):
     return meta
 
 wide = tick("normalize_fingerprint", lambda: rd.read_parquet(cdir)
-            .repartition(2 * ncpu)
+            .repartition(max(32, 2 * ncpu))
             .map_batches(_fused, batch_format="pyarrow",
                          batch_size=cfg.batch_size).materialize())
 docs = wide.drop_columns(_SIG_EXTRA)

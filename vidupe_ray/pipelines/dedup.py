@@ -103,8 +103,12 @@ def run_dedup(corpus_ds, cfg: PipelineConfig | None = None,
     # containment fetch) streams from the same blocks.  The canonical text
     # is never materialized anywhere — stages re-canonicalize on the fly
     # (recompute beats shipping; SURVEY.md §7.4 wide-record rule).
+    # floor of 32: at small widths 2x-CPUs blocks are too coarse — the
+    # straggler tail is 1/nblocks of the dominant stage (measured at
+    # 4 CPUs: 8 blocks 45.7 s vs 32 blocks 39.4 s fused wall, repeatable;
+    # no effect at 32 CPUs where 64 blocks already bound the tail)
     nblocks = cfg.target_blocks or max(
-        8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        32, 2 * int(ray.cluster_resources().get("CPU", 8)))
 
     # stamp doc_id into the (about-to-be-pinned) corpus blocks ONCE:
     # every downstream consumer (winner anti-join, fingerprint,
