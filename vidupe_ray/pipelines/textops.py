@@ -302,7 +302,7 @@ def _gram_pairs_bucket(df: pd.DataFrame,
     if hot.any():
         import logging
         logging.getLogger("vidupe_ray.textops").warning(
-            "trigram_jaccard: dropped %d stop gram(s) with df > %d "
+            "gram join: dropped %d stop gram(s) with df > %d "
             "(max df %d) from intersection counts",
             int(hot.sum()), hot_gram_cap, int(sizes.max()))
     seg = np.stack([off[:-1][~hot], off[1:][~hot]], axis=1)
