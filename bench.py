@@ -153,6 +153,15 @@ def run_bench() -> dict:
         "shuffle_bytes": res.metrics.get("shuffle_bytes", {}),
     }
     ray.shutdown()
+    # Host capacity at measurement time (BASELINE.md host-noise caveat):
+    # effective cores via the cache-resident busy loop, so a degraded
+    # shared-VM window is visible in the recorded JSON itself.
+    try:
+        result["host_effective_cores"] = round(
+            _compute_probe(NUM_CPUS) / _compute_probe(1), 1)
+        result["host_mem_bw_gbs"] = round(_membw_probe(), 1)
+    except Exception:
+        pass
     return result
 
 
@@ -179,6 +188,23 @@ def _compute_probe(k: int, seconds: float = 1.5) -> float:
     total = sum(q.get() for _ in ps)
     [p.join() for p in ps]
     return total / seconds
+
+
+def _membw_probe(mb: int = 512, reps: int = 3) -> float:
+    """Single-stream DRAM copy bandwidth (GB/s) right now.  The compute
+    probe misses memory-subsystem degradation — a window was measured at
+    4.3x the record wall while the busy-loop probe read 22.8/32 effective
+    cores — so both host axes are recorded with every run."""
+    import numpy as np
+    a = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
+    b = np.empty_like(a)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        dt = time.perf_counter() - t0
+        best = max(best, (2 * a.nbytes) / dt / 1e9)
+    return best
 
 
 def run_scaling(repeats: int = 2):
@@ -233,6 +259,8 @@ def run_scaling(repeats: int = 2):
         "files_per_sec_lo": tp_lo, "files_per_sec_hi": tp_hi,
         "all_files_per_sec_lo": [r["files_per_sec"] for r in runs_lo],
         "all_files_per_sec_hi": [r["files_per_sec"] for r in runs_hi],
+        "host_mem_bw_gbs": {"lo": [r.get("host_mem_bw_gbs") for r in runs_lo],
+                            "hi": [r.get("host_mem_bw_gbs") for r in runs_hi]},
         "host_effective_cores": {"lo": round(probe_lo, 1),
                                  "hi": round(probe_hi, 1)},
         "host_compute_scaling_ceiling": round(probe_hi / probe_lo
