@@ -417,6 +417,11 @@ def q_embedding_clusters(sf_dir: str):
     return embedding_clusters(sf_dir)
 
 
+def q_semdedup(sf_dir: str):
+    from vidupe_ray.pipelines.ann import semdedup
+    return semdedup(sf_dir)
+
+
 def q_revenue_by_nation(sf_dir: str):
     from vidupe_ray.pipelines.relational import revenue_by_nation
     return revenue_by_nation(sf_dir)
@@ -500,7 +505,8 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
     51).  These four stay fully oracle/golden-checked in pytest
     (tests/test_oracle_parity.py) and tools/check_oracle.py, which merge
     this dict with ``queries()``; they were chosen as the lowest-signal
-    DRIVER rows, not as lesser operators:
+    DRIVER rows, not as lesser operators (semdedup, added after the
+    window froze, rides here with a full hash oracle):
 
     - dedup_pairs_exact: 0 rows on the dup-free driver corpora (negative
       control) — the planted-dup pytest is its real evidence;
@@ -515,6 +521,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": q_top_orders,
         "revenue_by_nation": q_revenue_by_nation,
         "dedup_clusters_simhash": q_dedup_clusters_simhash,
+        "semdedup": q_semdedup,
     }
 
 
@@ -1123,6 +1130,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.b, r.lab FROM r JOIN e ON e.a = r.node)
         SELECT node AS vec_id, min(lab) AS cluster_id FROM r GROUP BY node"""
 
+    # same recursive component labels, then the SemDeDup retention rule:
+    # canonical member = max n_chars, ties to min vec_id
+    semdedup = """
+        WITH RECURSIVE
+        f AS (SELECT vec_id,
+                     CAST(unnest(embedding) AS DOUBLE) AS v,
+                     unnest(generate_series(1, len(embedding))) AS pos
+              FROM embeddings),
+        n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+        p AS (SELECT d.a, d.b
+              FROM (SELECT qa.vec_id AS a, qb.vec_id AS b,
+                           sum(qa.v * qb.v) AS dot
+                    FROM f qa JOIN f qb ON qa.pos = qb.pos
+                                        AND qa.vec_id < qb.vec_id
+                    GROUP BY qa.vec_id, qb.vec_id) d
+              JOIN n na ON d.a = na.vec_id
+              JOIN n nb ON d.b = nb.vec_id
+              WHERE d.dot / (na.nrm * nb.nrm) >= 0.45),
+        e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        r(node, lab) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.b, r.lab FROM r JOIN e ON e.a = r.node),
+        lab AS (SELECT node AS vec_id, min(lab) AS cluster_id
+                FROM r GROUP BY node),
+        j AS (SELECT l.vec_id, l.cluster_id, d.n_chars
+              FROM lab l JOIN documents d ON d.doc_id = l.vec_id),
+        c AS (SELECT cluster_id, vec_id AS canonical FROM (
+                SELECT cluster_id, vec_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n_chars DESC, vec_id)
+                           AS rn
+                FROM j) WHERE rn = 1)
+        SELECT j.vec_id, j.cluster_id,
+               (j.vec_id = c.canonical) AS keep
+        FROM j JOIN c USING (cluster_id)"""
+
     # money as integer micro-units: floor per row, int64 sums — identical
     # double arithmetic on both sides, accumulation-order independent
     _rev = ("CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) "
@@ -1176,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_region_revenue": supplier_region_revenue,
         "orders_rollup": orders_rollup,
         "embedding_clusters": embedding_clusters,
+        "semdedup": semdedup,
         "revenue_by_nation": revenue_by_nation,
         "top_orders": top_orders,
         "top_per_lang": top_per_lang,

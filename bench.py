@@ -132,6 +132,7 @@ def run_bench() -> dict:
     timed("ann_topk_ivf", ann.ivf_topk)
     timed("embedding_neardup", ann.embedding_neardup_pairs)
     timed("embedding_clusters", ann.embedding_clusters)
+    timed("semdedup", ann.semdedup)
     timed("tfidf_top_terms", textops.tfidf_top_terms)
     timed("distinct_contents", textops.distinct_contents)
     timed("hll_distinct_contents", textops.hll_distinct_contents)

@@ -197,3 +197,54 @@ def test_embedding_neardup_gates_internally(ray_session, monkeypatch):
                                       broadcast_cap=10_000_000)
     assert "lsh" not in called
     assert res.count() >= 0
+
+
+def test_semdedup_keeps_largest_member(ray_session):
+    """SemDeDup retention: in every fully-merged 3-chain the member with
+    the most content (planted: the MIDDLE id) is the single keep=True —
+    proving the rule is max-n_chars, not min-vec_id — and every
+    singleton keeps itself."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vidupe_ray.pipelines.ann import semdedup
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(50, 64))
+    mid = base + rng.normal(scale=0.02, size=(50, 64))
+    far = mid + rng.normal(scale=0.02, size=(50, 64))
+    lone = rng.normal(size=(50, 64))
+    vecs = np.concatenate([base, mid, far, lone])
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(200, dtype=np.int64),
+        "embedding": [v.astype(np.float32) for v in vecs],
+        "label": np.zeros(200, dtype=np.int32)})),
+        os.path.join(d, "embeddings.parquet"))
+    # middle chain member (i+50) carries the most content
+    n_chars = np.full(200, 100, dtype=np.int64)
+    n_chars[50:100] = 500
+    n_chars[150:] = 50
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "n_chars": n_chars})),
+        os.path.join(d, "documents.parquet"))
+
+    out = semdedup(d, threshold=0.99).to_pandas()
+    assert len(out) == 200
+    lab = dict(zip(out["vec_id"].astype(int), out["cluster_id"].astype(int)))
+    keep = dict(zip(out["vec_id"].astype(int), out["keep"].astype(bool)))
+    merged = [i for i in range(50)
+              if lab[i] == lab[i + 50] == lab[i + 100]]
+    assert len(merged) >= 45
+    for i in merged:
+        assert (keep[i], keep[i + 50], keep[i + 100]) == (False, True, False)
+    # singletons keep themselves
+    assert all(keep[i] for i in range(150, 200))
+    # globally: exactly one keep per component
+    per = out.groupby("cluster_id")["keep"].sum()
+    assert (per == 1).all()

@@ -312,6 +312,55 @@ def embedding_clusters(sf_dir: str, threshold: float = 0.45):
                        "cluster_id", DEFAULT_CONFIG)
 
 
+def semdedup(sf_dir: str, threshold: float = 0.45):
+    """SemDeDup-style semantic-dedup retention verdict (Abbas et al.,
+    arXiv 2303.09540): keep exactly ONE representative per near-duplicate
+    component of the cosine>=threshold embedding graph — the member with
+    the most content (max ``n_chars``, ties to min vec_id); singletons
+    keep themselves.  The reference applies the same decision per matched
+    pair when it picks the "better" file (`comparison.cpp:266-330`); this
+    is that retention rule lifted to corpus-scale semantic components.
+
+    Plan — two slim exchanges, the 256 B vectors ride neither:
+      1. component labels from ``embedding_clusters`` (cap-gated
+         exact/LSH pair graph + distributed CC, its own hash oracle);
+      2. ONE ``bucketed_enrich`` attaches ``n_chars`` (24 B rows,
+         documents and embeddings are both corpus-sized so neither
+         broadcasts);
+      3. ONE ``grouped_map`` bucketed by component computes the keep
+         flag fully vectorized inside each bucket (stable sort by
+         (cluster_id, -n_chars, vec_id); first row per component is
+         canonical).
+
+    Output: ``vec_id, cluster_id, keep`` for every vector.
+    """
+    from ..state import bucketing as B
+    from ..state.joins import bucketed_enrich
+    from .textops import read_documents
+
+    labels = embedding_clusters(sf_dir, threshold)
+    docs = read_documents(sf_dir, ["doc_id", "n_chars"])
+    enriched = bucketed_enrich(labels, "vec_id", docs, "doc_id",
+                               {"n_chars": "n_chars"})
+
+    def _keep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["cluster_id", "n_chars", "vec_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        canon = (df.groupby("cluster_id", sort=False)["vec_id"]
+                   .transform("first"))
+        return pa.table({
+            "vec_id": pa.array(df["vec_id"].to_numpy(np.int64)),
+            "cluster_id": pa.array(df["cluster_id"].to_numpy(np.int64)),
+            "keep": pa.array(
+                df["vec_id"].to_numpy(np.int64) == canon.to_numpy(np.int64)),
+        })
+
+    return B.grouped_map(enriched, "cluster_id", B.bucket_of_ints, _keep,
+                         batch_format="pyarrow")
+
+
 def _ivf_centroids(sf_dir: str, n_cells: int, seed: int,
                    max_iters: int = 8) -> np.ndarray:
     """Deterministic coarse quantizer: spherical k-means (Lloyd) on a
