@@ -290,3 +290,18 @@ def test_signatures_and_fingerprints_oracle_edges(harness, tmp_path):
     assert fp.loc[2, "n_fingerprints"] == 0     # < k tokens: no shingle
     assert fp.loc[1, "n_fingerprints"] == 1     # exactly one shingle
     assert fp.loc[0, "n_fingerprints"] >= 1
+
+
+def test_driver_window_is_exactly_fifty():
+    """The driver records only the FIRST 50 queries() entries (round 3
+    dropped entry 51 silently).  Adding operator #51 here instead of
+    extra_queries() would silently push a shipped operator out of the
+    recording window — fail loudly instead."""
+    import __ray_entry__ as E
+    assert len(E.queries()) == 50, (
+        "queries() must stay at exactly 50 entries; put overflow in "
+        "extra_queries() (see its docstring)")
+    # every SQL-checked name must resolve: oracle keys ⊆ merged queries
+    merged = {**E.queries(), **E.extra_queries()}
+    unknown = set(E.oracle_sql()) - set(merged)
+    assert not unknown, f"oracle_sql keys without a query: {unknown}"

@@ -141,3 +141,23 @@ def test_repetition_score_counts(ray_session, tmp_path):
     assert got["n_bigrams"].tolist() == [4, 0, 0, 2]
     assert got["n_distinct_bigrams"].tolist() == [2, 0, 0, 2]
     assert got["dup_bigram_ppm"].tolist() == [500_000, 0, 0, 0]
+
+
+def test_decontaminate_short_doc_at_batch_end(ray_session, tmp_path):
+    """A doc with fewer than k=5 tokens at the END of the batch makes its
+    shingle offset equal the hit-array length; reduceat must skip empty
+    segments instead of raising IndexError (regression: round-5 review)."""
+    span = " ".join("shared%d" % i for i in range(8))
+    texts = [
+        span + " " + " ".join("bench%d" % i for i in range(10)),  # id 0
+        " ".join("pre%d" % i for i in range(6)) + " " + span,     # id 1
+        "foo bar",                                                # id 2
+        "",                                                       # id 3
+    ]
+    sf = _write_docs(tmp_path, texts)
+    from vidupe_ray.pipelines.textops import decontaminate
+    got = decontaminate(sf).to_pandas()
+    # only the overlapping full-length doc is flagged; short/empty docs
+    # neither crash nor false-positive
+    assert got["doc_id"].tolist() == [1]
+    assert int(got["n_hit_grams"].iloc[0]) == 4

@@ -345,6 +345,10 @@ def semdedup(sf_dir: str, threshold: float = 0.45):
 
     def _keep(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        # inner-join semantics, matching the SQL oracle: a vec_id with no
+        # documents row (bucketed_enrich left-joins it to null n_chars)
+        # is dropped, not ranked NaN-last
+        df = df.dropna(subset=["n_chars"])
         df = df.sort_values(["cluster_id", "n_chars", "vec_id"],
                             ascending=[True, False, True],
                             kind="mergesort")

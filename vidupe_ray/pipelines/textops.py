@@ -552,10 +552,14 @@ def decontaminate(sf_dir: str, k: int = 5, bench_mod: int = 10):
         hit = np.zeros(len(svals), dtype=np.int64)
         inb = pos < len(bench)
         hit[inb] = (bench[pos[inb]] == svals[inb]).astype(np.int64)
-        n_hits = np.add.reduceat(hit, voff[:-1]) if len(hit) else \
-            np.zeros(len(ids), dtype=np.int64)
-        n_hits = np.where(np.diff(voff) > 0, n_hits, 0).astype(np.int64)
+        # reduceat over non-empty segments only (oph_minhash's starts_ne
+        # pattern): a zero-gram doc at the END of the batch makes its
+        # offset == len(hit), which reduceat rejects with an IndexError
         n_grams = np.diff(voff).astype(np.int64)
+        n_hits = np.zeros(len(ids), dtype=np.int64)
+        ne = n_grams > 0
+        if len(hit) and ne.any():
+            n_hits[ne] = np.add.reduceat(hit, voff[:-1][ne])
         keep = (n_hits > 0) & (ids % bench_mod != 0)
         ppm = np.zeros(len(ids), dtype=np.int64)
         ppm[keep] = np.floor(n_hits[keep] * 1_000_000.0
