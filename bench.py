@@ -11,6 +11,8 @@ over the sf tables) and prints ONE JSON line.
 The bench corpus is generated once per (size, seed) and cached as sharded
 parquet under /tmp/vidupe_bench so repeated runs measure the pipeline, not
 the generator; one untimed read warms the page cache first.
+``GRAFT_BENCH_DOCS`` overrides the corpus size (docs) for floor-amortized
+scaling legs; the emitted JSON's ``n_docs`` self-describes the run.
 """
 
 from __future__ import annotations
@@ -49,7 +51,7 @@ _SF_DOCS = {"sf0.001": 2_000, "sf0.01": 10_000, "sf0.1": 500_000}
 
 def corpus_dir() -> tuple:
     sf = os.path.basename(SF_DIR.rstrip("/"))
-    n = _SF_DOCS.get(sf, 10_000)
+    n = int(os.environ.get("GRAFT_BENCH_DOCS", 0)) or _SF_DOCS.get(sf, 10_000)
     out = f"/tmp/vidupe_bench/{sf}_n{n}_s{SEED}"
     if not os.path.exists(os.path.join(out, "corpus")):
         from vidupe_ray.corpus import write_corpus
@@ -100,7 +102,14 @@ def run_bench() -> dict:
     queries["dedup_corpus"] = round(headline, 3)
 
     # ---- secondary pipelines over the sf tables -------------------------
+    # GRAFT_HEADLINE_ONLY=1 skips them: scaling legs at floor-amortizing
+    # corpus sizes time only the headline, so the suite would just burn
+    # host bandwidth between the paired measurements.
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+
     def timed(name, fn):
+        if headline_only:
+            return
         t = time.perf_counter()
         try:
             out = fn(SF_DIR)
