@@ -13,6 +13,9 @@ parquet under /tmp/vidupe_bench so repeated runs measure the pipeline, not
 the generator; one untimed read warms the page cache first.
 ``GRAFT_BENCH_DOCS`` overrides the corpus size (docs) for floor-amortized
 scaling legs; the emitted JSON's ``n_docs`` self-describes the run.
+``GRAFT_SCALE_REPEATS`` overrides the per-level repeat count in
+``--scaling`` (default 2; long floor-amortized legs may use 1 since each
+bench invocation already takes best-of-2 internally).
 """
 
 from __future__ import annotations
@@ -238,6 +241,9 @@ def run_scaling(repeats: int = 2):
     """
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", repeats))
+    if repeats < 1:
+        raise ValueError("GRAFT_SCALE_REPEATS must be >= 1")
 
     def one(ncpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
